@@ -1,0 +1,106 @@
+"""
+Dataset factory + batching pipeline.
+
+Capability parity with reference src/data/load_data.py: name->class dispatch,
+batch building, and the `unwrap_batch_data` schema adapter. The loader is a
+host-side numpy pipeline (prefetchable) producing channels-last batches that
+feed directly into jitted device steps.
+"""
+
+import numpy as np
+
+from playslot_tpu.config import CONFIG
+from playslot_tpu.data.gridshapes import GridShapes
+from playslot_tpu.data.episodes import (
+    BlockPush, BlockPushExpertDemos, ButtonPress, ButtonPressExpertDemos,
+)
+
+
+def _make_sketchy(**kw):
+    from playslot_tpu.data.sketchy import Sketchy
+    return Sketchy(**kw)
+
+
+DATASETS = {
+    "GridShapes": lambda **kw: GridShapes(**kw),
+    "BlockPush": lambda **kw: BlockPush(**kw),
+    "BlockPush_ExpertDemos": lambda **kw: BlockPushExpertDemos(**kw),
+    "ButtonPress": lambda **kw: ButtonPress(**kw),
+    "ButtonPress_ExpertDemos": lambda **kw: ButtonPressExpertDemos(**kw),
+    "Sketchy": _make_sketchy,
+}
+
+
+def load_data(exp_params, split="train"):
+    """Instantiate the dataset named in exp_params (load_data.py:13-69)."""
+    cfg = dict(exp_params["dataset"])
+    name = cfg.pop("dataset_name")
+    if name not in DATASETS:
+        raise ValueError(f"Unknown dataset {name}. Available: {list(DATASETS)}")
+    cfg.pop("shuffle_train", None)
+    cfg.pop("shuffle_eval", None)
+    cfg.pop("use_segmentation", None)
+    cfg.pop("target", None)
+    cfg.pop("variant", None)
+    return DATASETS[name](split=split, **cfg)
+
+
+class BatchIterator:
+    """
+    Seeded shuffling batch iterator over an indexable dataset. Collates
+    (video, target, meta) samples into stacked numpy arrays.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+        for start in range(0, n, self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            if len(idxs) < self.batch_size and self.drop_last:
+                return
+            samples = [self.dataset[int(i)] for i in idxs]
+            videos = np.stack([s[0] for s in samples])
+            targets = np.stack([s[1] for s in samples])
+            metas = {}
+            keys = samples[0][2].keys() if isinstance(samples[0][2], dict) else []
+            for k in keys:
+                vals = [np.asarray(s[2][k]) for s in samples]
+                if vals[0].size > 0 and all(v.shape == vals[0].shape for v in vals):
+                    metas[k] = np.stack(vals)
+            yield videos, targets, metas
+
+
+def build_data_loader(dataset, batch_size=64, shuffle=False, seed=None):
+    """Mirror of reference build_data_loader (load_data.py:72-92)."""
+    return BatchIterator(dataset, batch_size=batch_size, shuffle=shuffle,
+                         seed=seed if seed is not None else CONFIG["random_seed"])
+
+
+def unwrap_batch_data(exp_params, batch_data):
+    """
+    Adapt a batch to (videos, targets, initializer_kwargs, others)
+    (reference load_data.py:95-107).
+    """
+    videos, targets, metas = batch_data
+    initializer_kwargs = {}
+    others = {}
+    if isinstance(metas, dict) and "actions" in metas:
+        others["actions"] = metas["actions"]
+    if isinstance(metas, dict) and "masks" in metas:
+        others["masks"] = metas["masks"]
+    return videos, targets, initializer_kwargs, others

@@ -1,0 +1,176 @@
+"""
+InvDyn — inverse-dynamics modules inferring latent actions from slots of
+consecutive frames.
+
+Capability parity with reference src/models/Predictors/LatentAction.py:
+  * VQSingleSlotLatentAction (InvDynS): transformer + [ACT] token aggregates
+    all slots into ONE latent action per timestep (LatentAction.py:129-249).
+  * VQSimpleMLPSlotLatentAction (InvDynM): per-slot MLP -> one latent action
+    PER SLOT per timestep (LatentAction.py:254-359).
+
+Latent action = VQ prototype + continuous variability residual. The action
+distribution is parameterized as the DIFFERENCE of consecutive frame
+embeddings (LatentAction.py:78-87).
+"""
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from playslot_tpu.models.blocks import TransformerEncoderBlock, xavier_init, zeros_init
+from playslot_tpu.models.quantization import VectorQuantizer
+
+
+class BaseSlotLatentAction(nn.Module):
+    """Shared scaffolding: gaussian head + quantizer + sampling."""
+
+    slot_dim: int
+    emb_dim: int
+    action_dim: int
+    num_actions: int
+    use_ema_vq: bool = False
+    dtype: Any = None
+
+    def _setup_common(self):
+        self.mean_fc = nn.Dense(self.action_dim, kernel_init=xavier_init,
+                                bias_init=zeros_init, dtype=self.dtype, name="mean_fc")
+        self.variance_fc = nn.Dense(self.action_dim, kernel_init=xavier_init,
+                                    bias_init=zeros_init, dtype=self.dtype,
+                                    name="variance_fc")
+        self.quantizer = VectorQuantizer(
+            num_embs=self.num_actions, emb_dim=self.action_dim,
+            use_ema=self.use_ema_vq, dtype=self.dtype, name="quantizer")
+
+    # ----------------------------------------------------------- primitives
+    def sample(self, mean, var, noise=None, eps=1e-6):
+        """Reparameterized gaussian sample (LatentAction.py:71-75)."""
+        if noise is None:
+            noise = jax.random.normal(self.make_rng("action"), mean.shape, jnp.float32)
+        return noise.astype(mean.dtype) * jnp.sqrt(var + eps) + mean
+
+    def compute_action_dist(self, tokens):
+        """
+        Action-direction distribution from per-frame embeddings
+        (LatentAction.py:78-87): mean_t = mu_{t+1} - mu_t, var_t = v_{t+1} + v_t.
+        tokens: (B, T, ..., emb_dim), time on axis 1.
+        """
+        mean_tok = self.mean_fc(tokens)
+        var_tok = jnp.abs(self.variance_fc(tokens))
+        action_dir_mean = mean_tok[:, 1:] - mean_tok[:, :-1]
+        action_dir_var = var_tok[:, 1:] + var_tok[:, :-1]
+        return action_dir_mean, action_dir_var
+
+    def _quantize_and_pack(self, action_dir_mean, action_dir_var, noise, train):
+        """Sample -> VQ -> variability; shared output packing."""
+        action_dist = jnp.stack([action_dir_mean, action_dir_var], axis=2)
+        sampled = self.sample(action_dir_mean, action_dir_var, noise=noise)
+        action_proto, vq_loss, action_idxs = self.quantizer(sampled, train=train)
+        action_var, _ = self.quantizer.get_variability(
+            z=sampled, action_embs=action_proto, action_idxs=action_idxs)
+        vq_losses = {k: jnp.mean(v) for k, v in vq_loss.items()}
+        return {
+            "action_dist": action_dist,
+            "sampled_latent_action": sampled,
+            "action_variability": action_var,
+            "action_proto": action_proto,
+            "action_idxs": action_idxs[..., None],
+            "vq_losses": vq_losses,
+        }
+
+    # ------------------------------------------------------------- helpers
+    def compute_actions(self, slots, noise=None, train=False):
+        return self(slots, noise=noise, train=train)
+
+    def get_action(self, shape, action_idx=None):
+        """
+        Codebook lookup; random indices of `shape` if none given
+        (LatentAction.py:95-113).
+        """
+        if action_idx is None:
+            action_idx = jax.random.randint(
+                self.make_rng("action"), shape, 0, self.num_actions)
+        else:
+            action_idx = jnp.broadcast_to(jnp.asarray(action_idx), shape)
+        return self.quantizer.get_codebook_entry(action_idx), action_idx
+
+    def decompose_action_latent(self, action_latent):
+        """Latent -> (prototype, variability) (LatentAction.py:115-125)."""
+        protos, _, idxs = self.quantizer(action_latent, train=False)
+        variability, _ = self.quantizer.get_variability(
+            z=action_latent, action_embs=protos, action_idxs=idxs)
+        return protos, variability
+
+
+class VQSingleSlotLatentAction(BaseSlotLatentAction):
+    """InvDynS: one latent action per frame via [ACT]-token transformer."""
+
+    num_layers: int = 4
+    num_heads: int = 4
+    head_dim: int = 32
+    mlp_dim: int = 512
+
+    def setup(self):
+        self._setup_common()
+        self.slot_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="slot_norm")
+        self.slot_proj = nn.Dense(self.emb_dim, kernel_init=xavier_init,
+                                  bias_init=zeros_init, dtype=self.dtype,
+                                  name="slot_proj")
+        self.act_token = self.param("act_token", zeros_init, (1, 1, self.emb_dim))
+        self.transformer = [
+            TransformerEncoderBlock(
+                embed_dim=self.emb_dim, head_dim=self.head_dim,
+                num_heads=self.num_heads, mlp_size=self.mlp_dim, project_out=True,
+                dtype=self.dtype, name=f"block_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, slots, noise=None, train=False):
+        """
+        slots: (B, T, S, slot_dim) ->
+            action_proto (B, T-1, action_dim), action_variability (B, T-1, action_dim),
+            action_idxs (B, T-1, 1), action_dist (B, T-1, 2, action_dim), vq_losses.
+        """
+        assert slots.ndim == 4, f"{slots.shape=} must be (B, T, S, slot_dim)"
+        B, T, S, _ = slots.shape
+        embs = self.slot_proj(self.slot_norm(slots))  # (B, T, S, emb)
+        act = jnp.tile(self.act_token[None].astype(embs.dtype), (B, T, 1, 1))
+        tokens = jnp.concatenate([act, embs], axis=2).reshape(B * T, S + 1, -1)
+        for block in self.transformer:
+            tokens = block(tokens)
+        out_token = tokens[:, 0].reshape(B, T, -1)
+
+        mean, var = self.compute_action_dist(out_token)
+        return self._quantize_and_pack(mean, var, noise, train)
+
+
+class VQSimpleMLPSlotLatentAction(BaseSlotLatentAction):
+    """InvDynM: one latent action per slot via a per-slot MLP encoder."""
+
+    hidden_dim: int = 256
+
+    def setup(self):
+        self._setup_common()
+        self.slot_fc0 = nn.Dense(self.hidden_dim, kernel_init=xavier_init,
+                                 bias_init=zeros_init, dtype=self.dtype, name="slot_fc0")
+        self.slot_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="slot_norm")
+        self.slot_fc1 = nn.Dense(self.emb_dim, kernel_init=xavier_init,
+                                 bias_init=zeros_init, dtype=self.dtype, name="slot_fc1")
+
+    def __call__(self, slots, noise=None, train=False):
+        """
+        slots: (B, T, S, slot_dim) ->
+            action_proto (B, T-1, S, action_dim), variability same,
+            action_idxs (B, T-1, S, 1), action_dist (B, T-1, 2, S, action_dim).
+        """
+        assert slots.ndim == 4, f"{slots.shape=} must be (B, T, S, slot_dim)"
+        embs = self.slot_fc1(self.slot_norm(jax.nn.relu(self.slot_fc0(slots))))
+        mean, var = self.compute_action_dist(embs)
+        return self._quantize_and_pack(mean, var, noise, train)
+
+
+LATENT_ACTION_MODELS = {
+    "VQSingleSlotLatentAction": VQSingleSlotLatentAction,
+    "VQSimpleMLPSlotLatentAction": VQSimpleMLPSlotLatentAction,
+}
