@@ -1,0 +1,166 @@
+"""
+Closed-loop behavior evaluation in simulation.
+
+Capability parity with reference src/base/baseSimulation.py +
+src/11_evaluate_behavior_on_simulation.py (+ oracle variant): per episode,
+SAVi encodes the first rendered frame into slots; each control step runs
+policy -> latent action -> (prototype + variability) -> action decoder ->
+robot action, plus one imagination step of the dynamics model to advance the
+slot state; the simulator executes the action with its ACTION_REPEAT.
+
+TPU design: the whole device-side control step is ONE jitted function
+(slots window -> action + next slots) — the reference makes ~6 separate
+module calls per step (SURVEY.md §3.4).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from playslot_tpu.config import Config
+from playslot_tpu.data.simulation import setup_simulation
+from playslot_tpu.models.factory import (
+    setup_action_decoder, setup_behavior_model, setup_model, setup_predictor,
+)
+from playslot_tpu.utils.logger import print_
+
+
+class SimulationEvaluator:
+    def __init__(self, exp_path, savi_params, pred_variables, policy_params,
+                 decoder_params, num_sims=10, max_num_steps=20, seed=1000,
+                 sim_name=None, oracle=False):
+        self.exp_path = exp_path
+        self.exp_params = Config.load(exp_path)
+        self.num_sims = num_sims
+        self.max_num_steps = max_num_steps
+        self.seed = seed
+        self.oracle = oracle
+
+        mp = self.exp_params["model"]["model_params"]
+        self.num_slots, self.slot_dim = mp["num_slots"], mp["slot_dim"]
+        self.savi = setup_model(self.exp_params["model"])
+        self.savi_params = savi_params
+        if not oracle:
+            pp = self.exp_params["predictor"]["predictor_params"]
+            self.action_dim = pp["action_dim"]
+            self.predictor = setup_predictor(
+                self.exp_params["predictor"], savi_params=mp)
+            self.pred_variables = pred_variables
+            self.context_length = pp["DynamicsModel"]["model_params"].get(
+                "context_length", 8)
+            self.action_decoder = setup_action_decoder(
+                self.exp_params["action_decoder"])
+            self.decoder_params = decoder_params
+            beh_action_dim = self.action_dim
+        else:
+            beh_action_dim = self.exp_params.get("action_dim", 4)
+            self.context_length = 1
+        self.policy = setup_behavior_model(
+            self.exp_params["behavior_model"], slot_dim=self.slot_dim,
+            action_dim=beh_action_dim)
+        self.policy_params = policy_params
+
+        self.sim_name = sim_name or self.exp_params["dataset"]["dataset_name"]
+        self._build_steps()
+
+    # --------------------------------------------------------------- jitted
+    def _build_steps(self):
+        savi, policy = self.savi, self.policy
+        savi_params, policy_params = self.savi_params, self.policy_params
+
+        @jax.jit
+        def encode_first(img):
+            out = savi.apply({"params": savi_params["params"]}, img[None, None],
+                             decode=False, rngs={"slots": jax.random.PRNGKey(0)})
+            return out["slot_history"][:, 0]  # (1, S, D)
+
+        self._encode_first = encode_first
+
+        if self.oracle:
+            @jax.jit
+            def control_step(slots_window):
+                return policy.apply({"params": policy_params},
+                                    slots_window[:, -1:])[:, -1]
+
+            self._control_step_oracle = control_step
+            return
+
+        predictor, action_decoder = self.predictor, self.action_decoder
+        pred_variables, decoder_params = self.pred_variables, self.decoder_params
+        num_slots = self.num_slots
+
+        @jax.jit
+        def control_step(slots_window):
+            """
+            slots_window: (1, L, S, D) history (L <= context_length).
+            Returns (robot_action (A,), next_slots (1, S, D)).
+            """
+            cur = slots_window[:, -1:]
+            latent = policy.apply({"params": policy_params}, cur)[:, -1]  # (1, A)
+            protos, variability = predictor.apply(
+                pred_variables, latent,
+                method=lambda m, z: m.latent_action.decompose_action_latent(z))
+            robot_action = action_decoder.apply(
+                {"params": decoder_params}, latent)[0]
+
+            L = slots_window.shape[1]
+            proto_seq = jnp.tile(protos[:, None, None, :], (1, L, num_slots, 1))
+            var_seq = jnp.tile(variability[:, None, None, :], (1, L, num_slots, 1))
+            use_var = getattr(predictor, "use_variability", False)
+            pred_slots = predictor.apply(
+                pred_variables, slots_window, proto_seq,
+                var_seq if use_var else None,
+                method=lambda m, s, p, v: m.dynamics_model.forward_single(
+                    s, p, action_vars=v))
+            next_slots = pred_slots[:, -1]
+            return robot_action, next_slots
+
+        self._control_step = control_step
+
+    # ----------------------------------------------------------------- loop
+    def evaluate(self):
+        successes, episodes = [], []
+        for ep in range(self.num_sims):
+            sim = setup_simulation(self.sim_name, seed=self.seed + ep)
+            img = sim.init_seq()
+            slots = np.asarray(self._encode_first(jnp.asarray(img)))  # (1, S, D)
+            window = [slots]
+            done, succ = False, False
+            steps = 0
+            while not done and steps < self.max_num_steps:
+                w = jnp.asarray(np.stack(window, axis=1))  # (1, L, S, D)
+                if self.oracle:
+                    action = np.asarray(self._control_step_oracle(w))[0]
+                    next_slots = slots  # oracle re-encodes each frame
+                else:
+                    action, next_slots = self._control_step(w)
+                    action = np.asarray(action)
+                    next_slots = np.asarray(next_slots)
+                img, done = sim.update(action)
+                if self.oracle:
+                    next_slots = np.asarray(self._encode_first(jnp.asarray(img)))
+                window.append(next_slots)
+                if len(window) > self.context_length:
+                    window = window[-self.context_length:]
+                succ = sim.success()
+                steps += 1
+            sim.close()
+            successes.append(bool(succ))
+            episodes.append({"episode": ep, "success": bool(succ), "steps": steps})
+            print_(f"  episode {ep}: success={succ} steps={steps}")
+
+        results = {
+            "success_rate": float(np.mean(successes)),
+            "num_sims": self.num_sims,
+            "episodes": episodes,
+        }
+        out = os.path.join(self.exp_path, "results",
+                           f"results_simulation_{self.sim_name}.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=4)
+        print_(f"Success rate: {results['success_rate']:.2f}")
+        return results

@@ -1,0 +1,191 @@
+"""
+Stage-1 trainer: SAVi video decomposition (MSE reconstruction).
+
+Capability parity with reference src/base/baseTrainer.py + src/02_train_savi.py,
+re-designed TPU-first: ONE jitted train step (forward + loss + grads + Adam +
+clip + LR schedule), host loop only feeds batches and logs. Checkpoints via
+orbax; losses.json + logs.txt mirror the reference experiment tree.
+"""
+
+import json
+import os
+import time
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from typing import Any
+
+from playslot_tpu.config import Config
+from playslot_tpu.data.loader import build_data_loader, load_data, unwrap_batch_data
+from playslot_tpu.models.factory import setup_model
+from playslot_tpu.train.losses import LossTracker, compute_losses
+from playslot_tpu.train.schedulers import build_optimizer
+from playslot_tpu.utils.checkpoint import checkpoint_name, load_checkpoint, save_checkpoint
+from playslot_tpu.utils.logger import print_
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    vq: Any
+    opt_state: Any
+
+
+class BaseTrainer:
+    """Shared scaffolding: config, data, checkpoint dirs, epoch loop."""
+
+    def __init__(self, exp_path, checkpoint=None, resume_training=False):
+        self.exp_path = exp_path
+        self.exp_params = Config.load(exp_path)
+        self.checkpoint = checkpoint
+        self.resume_training = resume_training
+        self.models_path = os.path.join(exp_path, "models")
+        self.plots_path = os.path.join(exp_path, "plots")
+        os.makedirs(self.models_path, exist_ok=True)
+        os.makedirs(self.plots_path, exist_ok=True)
+        self.training_losses = {}
+        self.start_epoch = 0
+        self.rng = jax.random.PRNGKey(
+            int(self.exp_params.get("training", {}).get("seed", 13)))
+
+    # ------------------------------------------------------------------ data
+    def load_data(self):
+        tcfg = self.exp_params["training"]
+        self.train_set = load_data(self.exp_params, split="train")
+        self.valid_set = load_data(self.exp_params, split="valid")
+        self.train_loader = build_data_loader(
+            self.train_set, batch_size=tcfg["batch_size"],
+            shuffle=self.exp_params["dataset"].get("shuffle_train", True))
+        self.valid_loader = build_data_loader(
+            self.valid_set, batch_size=tcfg["batch_size"],
+            shuffle=self.exp_params["dataset"].get("shuffle_eval", False))
+
+    # ---------------------------------------------------------------- loop
+    def training_loop(self):
+        tcfg = self.exp_params["training"]
+        num_epochs = tcfg["num_epochs"]
+        save_freq = tcfg.get("save_frequency", 10)
+        train_iters = tcfg.get("train_iters_per_epoch", 1000)
+        valid_iters = tcfg.get("valid_iters_per_epoch", 100)
+
+        try:
+            for epoch in range(self.start_epoch, num_epochs):
+                t0 = time.time()
+                valid_losses = self.run_epoch(self.valid_loader, train=False,
+                                              max_iters=valid_iters)
+                train_losses = self.run_epoch(self.train_loader, train=True,
+                                              max_iters=train_iters)
+                dt = time.time() - t0
+                print_(f"Epoch {epoch}: train={train_losses.get('_total', 0):.4f} "
+                       f"valid={valid_losses.get('_total', 0):.4f} ({dt:.1f}s)")
+                self._log_losses(epoch, train_losses, valid_losses)
+                if (epoch + 1) % save_freq == 0 or epoch == num_epochs - 1:
+                    self.save(checkpoint_name(epoch=epoch))
+                self.save("checkpoint_last_saved")
+            self.save(checkpoint_name(final=True))
+        except (Exception, KeyboardInterrupt):
+            # emergency checkpoint (reference setup_model.py:301-336)
+            self.save(f"emergency_checkpoint_epoch_{getattr(self, 'epoch', 0)}")
+            raise
+
+    def run_epoch(self, loader, train, max_iters):
+        tracker = LossTracker()
+        for i, batch in enumerate(loader):
+            if i >= max_iters:
+                break
+            losses = self.train_step(batch) if train else self.valid_step(batch)
+            tracker.accumulate(losses)
+        return tracker.summary()
+
+    def _log_losses(self, epoch, train_losses, valid_losses):
+        self.training_losses[str(epoch)] = {
+            "train": train_losses, "valid": valid_losses}
+        with open(os.path.join(self.exp_path, "losses.json"), "w") as f:
+            json.dump(self.training_losses, f, indent=2)
+
+    def _next_key(self, n=1):
+        self.rng, *keys = jax.random.split(self.rng, n + 1)
+        return keys[0] if n == 1 else keys
+
+    # ---------------------------------------------------------- checkpoints
+    def save(self, name):
+        save_checkpoint(os.path.join(self.models_path, name), {
+            "state": jax.device_get(flax.serialization.to_state_dict(self.state)),
+            "epoch": np.asarray(getattr(self, "epoch", 0)),
+        })
+
+    def restore(self, name):
+        ck = load_checkpoint(os.path.join(self.models_path, name))
+        self.state = flax.serialization.from_state_dict(self.state, ck["state"])
+        self.start_epoch = int(ck["epoch"]) + 1
+
+
+class SAViTrainer(BaseTrainer):
+    """Stage-1: train SAVi with MSE reconstruction (02_train_savi.py)."""
+
+    def setup_model(self):
+        self.model = setup_model(self.exp_params["model"])
+        self.tx, self.lr_schedule = build_optimizer(self.exp_params["training"])
+        num_frames = self.exp_params["dataset"].get("num_frames", 8)
+        sample = jnp.zeros(
+            (1, num_frames, *self._frame_shape()), jnp.float32)
+        key = self._next_key()
+        variables = self.model.init({"params": key, "slots": key}, sample)
+        params = variables["params"]
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            vq=variables.get("vq", {}), opt_state=self.tx.init(params))
+        if self.checkpoint:
+            self.restore(self.checkpoint)
+        self._build_steps()
+
+    def _frame_shape(self):
+        img = self.exp_params["dataset"].get("img_size", [64, 64])
+        if isinstance(img, int):
+            img = [img, img]
+        return (img[0], img[1], 3)
+
+    def _build_steps(self):
+        model, tx = self.model, self.tx
+        loss_cfg = self.exp_params["loss"]
+
+        def loss_fn(params, videos, key):
+            out = model.apply({"params": params}, videos, train=True,
+                              rngs={"slots": key})
+            total, ldict = compute_losses(
+                loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
+            return total, ldict
+
+        @jax.jit
+        def train_step(state, videos, key):
+            (_, ldict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, videos, key)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(step=state.step + 1, params=params,
+                                 opt_state=opt_state), ldict
+
+        @jax.jit
+        def valid_step(state, videos, key):
+            out = model.apply({"params": state.params}, videos,
+                              rngs={"slots": key})
+            _, ldict = compute_losses(
+                loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
+            return ldict
+
+        self._train_step = train_step
+        self._valid_step = valid_step
+
+    def train_step(self, batch):
+        videos, _, _, _ = unwrap_batch_data(self.exp_params, batch)
+        self.state, ldict = self._train_step(
+            self.state, jnp.asarray(videos), self._next_key())
+        return ldict
+
+    def valid_step(self, batch):
+        videos, _, _, _ = unwrap_batch_data(self.exp_params, batch)
+        return self._valid_step(self.state, jnp.asarray(videos), self._next_key())

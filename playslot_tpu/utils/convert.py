@@ -214,3 +214,168 @@ def load_torch_checkpoint(path):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     return ckpt
+
+
+# --------------------------------------------------------------------------
+# InvDyn / dynamics / predictors
+# --------------------------------------------------------------------------
+
+def _convert_quantizer(sd, prefix):
+    """
+    Reference VectorQuantizer / EmaVectorQuantizer -> (params, vq_state).
+    EMA variant keys: {prefix}.vq.embeddings.0.weight, {prefix}.ema_count,
+    {prefix}.ema_weight; plain variant: {prefix}.embeddings.0.weight.
+    """
+    params, vq = {}, {}
+    n = None
+    if f"{prefix}.vq.embeddings.0.weight" in sd:  # EMA
+        vq["codebook"] = _np(sd[f"{prefix}.vq.embeddings.0.weight"])
+        vq["ema_count"] = _np(sd[f"{prefix}.ema_count"])
+        vq["ema_weight"] = _np(sd[f"{prefix}.ema_weight"])
+        n = vq["codebook"].shape[0]
+    elif f"{prefix}.embeddings.0.weight" in sd:
+        params["codebook"] = _np(sd[f"{prefix}.embeddings.0.weight"])
+        n = params["codebook"].shape[0]
+    else:
+        raise KeyError(f"no quantizer found at {prefix}")
+    vq["usage_bins"] = np.ones(n, np.float32) / n
+    vq["usage_iters"] = np.zeros((), np.int32)
+    return params, vq
+
+
+def convert_latent_action(sd, prefix="latent_action"):
+    """InvDynS/InvDynM -> (params, vq_state) subtrees."""
+    params = {
+        "mean_fc": linear(sd, f"{prefix}.mean_fc"),
+        "variance_fc": linear(sd, f"{prefix}.variance_fc"),
+    }
+    qp, qv = _convert_quantizer(sd, f"{prefix}.quantizer")
+    params["quantizer"] = qp
+    vq = {"quantizer": qv}
+
+    if f"{prefix}.act_token" in sd:  # InvDynS
+        params["act_token"] = _np(sd[f"{prefix}.act_token"])
+        params["slot_norm"] = layernorm(sd, f"{prefix}.slot_encoder.0")
+        params["slot_proj"] = linear(sd, f"{prefix}.slot_encoder.1")
+        i = 0
+        while f"{prefix}.transformer.{i}.ln_att.weight" in sd:
+            params[f"block_{i}"] = encoder_block(sd, f"{prefix}.transformer.{i}")
+            i += 1
+    else:  # InvDynM: Sequential(Linear, ReLU, LayerNorm, Linear)
+        params["slot_fc0"] = linear(sd, f"{prefix}.slot_encoder.0")
+        params["slot_norm"] = layernorm(sd, f"{prefix}.slot_encoder.2")
+        params["slot_fc1"] = linear(sd, f"{prefix}.slot_encoder.3")
+    return params, vq
+
+
+def convert_dynamics_model(sd, prefix="dynamics_model"):
+    """MarkovTransformer / SlotGPT dynamics -> params subtree."""
+    params = {"tok_emb": linear(sd, f"{prefix}.tok_emb")}
+    if f"{prefix}.action_emb.weight" in sd:
+        params["action_emb"] = linear(sd, f"{prefix}.action_emb")
+    if f"{prefix}.variability_emb.weight" in sd:
+        params["variability_emb"] = linear(sd, f"{prefix}.variability_emb")
+    params["head_norm"] = layernorm(sd, f"{prefix}.regression_head.0")
+    params["head_out"] = linear(sd, f"{prefix}.regression_head.1")
+    i = 0
+    while f"{prefix}.dynamics_model.{i}.ln_att.weight" in sd:
+        params[f"block_{i}"] = decoder_block(sd, f"{prefix}.dynamics_model.{i}")
+        i += 1
+    return params
+
+
+def convert_latent_predictor(state_dict):
+    """
+    SlotLatentPredictor / SlotSingleActionPredictor state_dict ->
+    {"params": ..., "vq": ...} variables for the playslot_tpu predictor.
+    """
+    sd = strip_module_prefix(state_dict)
+    la_params, la_vq = convert_latent_action(sd, "latent_action")
+    params = {
+        "latent_action": la_params,
+        "dynamics_model": convert_dynamics_model(sd, "dynamics_model"),
+    }
+    return {"params": params, "vq": {"latent_action": la_vq}}
+
+
+def convert_action_cond_ocvp(state_dict):
+    """ActionCondtionalOCVP state_dict -> {"params": ...}."""
+    sd = strip_module_prefix(state_dict)
+    return {"params": {
+        "action_encoder": linear(sd, "action_encoder.0"),
+        "dynamics_model": convert_dynamics_model(sd, "dynamics_model"),
+    }}
+
+
+def convert_ocvp(state_dict, kind):
+    """VanillaTransformer / OCVPSeq / OCVPPar state_dict -> {"params": ...}."""
+    sd = strip_module_prefix(state_dict)
+    params = {
+        "mlp_in": linear(sd, "mlp_in"),
+        "mlp_out": linear(sd, "mlp_out"),
+    }
+    i = 0
+    if kind == "VanillaTransformer":
+        while f"transformer_encoders.{i}.ln_att.weight" in sd:
+            params[f"block_{i}"] = encoder_block(sd, f"transformer_encoders.{i}")
+            i += 1
+    elif kind == "OCVPSeq":
+        while f"transformer_encoders.{i}.object_encoder_block.ln_att.weight" in sd:
+            params[f"layer_{i}"] = {
+                "object_encoder_block": encoder_block(
+                    sd, f"transformer_encoders.{i}.object_encoder_block"),
+                "time_encoder_block": encoder_block(
+                    sd, f"transformer_encoders.{i}.time_encoder_block"),
+            }
+            i += 1
+    elif kind == "OCVPPar":
+        while f"transformer_encoders.{i}.ln_att.weight" in sd:
+            p = f"transformer_encoders.{i}"
+            params[f"layer_{i}"] = {
+                "ln_att": layernorm(sd, f"{p}.ln_att"),
+                "ln_mlp": layernorm(sd, f"{p}.ln_mlp"),
+                "mlp": {"Dense_0": linear(sd, f"{p}.mlp.mlp.0"),
+                        "Dense_1": linear(sd, f"{p}.mlp.mlp.2")},
+                "object_encoder_block": {
+                    "q": linear(sd, f"{p}.object_encoder_block.q", bias=False),
+                    "k": linear(sd, f"{p}.object_encoder_block.k", bias=False),
+                    "v": linear(sd, f"{p}.object_encoder_block.v", bias=False),
+                },
+                "time_encoder_block": {
+                    "q": linear(sd, f"{p}.time_encoder_block.q", bias=False),
+                    "k": linear(sd, f"{p}.time_encoder_block.k", bias=False),
+                    "v": linear(sd, f"{p}.time_encoder_block.v", bias=False),
+                },
+            }
+            i += 1
+    else:
+        raise ValueError(f"unknown OCVP kind {kind}")
+    return {"params": params}
+
+
+def convert_behavior_cloner(state_dict):
+    """MarkovBehaviorCloner state_dict -> {"params": ...}."""
+    sd = strip_module_prefix(state_dict)
+    params = {
+        "slot_norm": layernorm(sd, "slot_encoder.0"),
+        "slot_proj": linear(sd, "slot_encoder.1"),
+        "act_token": _np(sd["act_token"]),
+        "latent_action_predictor": linear(sd, "latent_action_predictor"),
+    }
+    i = 0
+    while f"transformer.{i}.ln_att.weight" in sd:
+        params[f"block_{i}"] = encoder_block(sd, f"transformer.{i}")
+        i += 1
+    return {"params": params}
+
+
+def convert_action_decoder(state_dict):
+    """MLPActionDecoder state_dict -> {"params": ...}."""
+    sd = strip_module_prefix(state_dict)
+    params = {}
+    idxs = _sorted_child_indices(sd, "mlp")
+    hidden = idxs[:-1]
+    for j, i in enumerate(hidden):
+        params[f"fc_{j}"] = linear(sd, f"mlp.{i}.0")
+    params["fc_out"] = linear(sd, f"mlp.{idxs[-1]}")
+    return {"params": params}
