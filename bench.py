@@ -75,22 +75,25 @@ def main():
     key = jax.random.PRNGKey(0)
     videos = jnp.asarray(np.random.RandomState(0).rand(BATCH, T, 64, 64, 3),
                          jnp.float32)
-    savi_vars = savi.init({"params": key, "slots": key}, videos[:1, :2])
+    # inits MUST be jitted: on relayed TPU backends an eager init dispatches
+    # thousands of tiny ops with full round-trip latency each (minutes)
+    savi_vars = jax.jit(lambda v: savi.init({"params": key, "slots": key}, v))(
+        videos[:1, :2])
     slots0 = jnp.zeros((1, T, 8, 128), jnp.float32)
-    pred_vars = predictor.init({"params": key, "action": key}, slots0,
-                               num_seed=NUM_SEED, num_preds=NUM_PREDS)
+    pred_vars = jax.jit(lambda s: predictor.init(
+        {"params": key, "action": key}, s, num_seed=NUM_SEED,
+        num_preds=NUM_PREDS))(slots0)
+
+    from playslot_tpu.engine.rollout import posterior_rollout
 
     @jax.jit
     def forward(savi_params, pred_variables, videos, key):
-        ka = key
         slots = savi.apply({"params": savi_params}, videos, decode=False
                            )["slot_history"]
-        preds = predictor.apply(
-            pred_variables, slots, num_samples=1, num_seed=NUM_SEED,
-            num_preds=NUM_PREDS, use_posterior=True, rngs={"action": ka},
-            method=lambda m, *a, **k: m.forward_multiple_samples(*a, **k))
+        preds = posterior_rollout(predictor, pred_variables, slots,
+                                  NUM_SEED, NUM_PREDS, rng=key)
         pred_imgs, _, _ = savi.apply({"params": savi_params}, preds,
-                                     method=lambda m, s: m.decode(s))
+                                     method=lambda m, s: m.decode_fast(s))
         pred_imgs = jnp.clip(pred_imgs.astype(jnp.float32), 0, 1)
         # device-side checksum: fetching this scalar is the only reliable way
         # to force full execution on relayed TPU backends where

@@ -107,7 +107,7 @@ def figs_pred(argv=None):
             num_preds=args.num_preds, use_posterior=True, rngs={"action": k2},
             method=lambda m, *a, **k: m.forward_multiple_samples(*a, **k))
         imgs, objs, masks = savi.apply({"params": savi_p}, preds[:, 0],
-                                       method=lambda m, s: m.decode(s))
+                                       method=lambda m, s: m.decode_fast(s))
         return jnp.clip(imgs, 0, 1), objs, masks
 
     key = jax.random.PRNGKey(0)
@@ -178,7 +178,7 @@ def figs_action(argv=None):
             method=lambda m, s, pr, av, n: m.autoregressive_inference(
                 s, action_protos=pr, action_vars=av, N=n))
         imgs, _, _ = savi.apply({"params": savi_p}, preds,
-                                method=lambda m, s: m.decode(s))
+                                method=lambda m, s: m.decode_fast(s))
         return jnp.clip(imgs, 0, 1)
 
     key = jax.random.PRNGKey(0)

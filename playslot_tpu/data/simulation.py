@@ -130,11 +130,12 @@ class GridShapesSim(BaseSim):
 
     ACTION_REPEAT = 1
 
-    def __init__(self, img_size=(64, 64), seed=None, shape_size=13,
+    def __init__(self, img_size=(64, 64), seed=None, shape_size=None,
                  max_steps=100):
         from playslot_tpu.data.gridshapes import _make_shape, COLORS
         self.R = img_size[0]
-        self.sz = shape_size
+        self.sz = shape_size if shape_size is not None else max(self.R // 5, 3)
+        shape_size = self.sz
         self.rng = np.random.RandomState(seed or 0)
         self.max_steps = max_steps
         self._occ = _make_shape("square", shape_size).astype(bool)

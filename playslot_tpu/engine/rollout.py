@@ -1,0 +1,108 @@
+"""
+Production autoregressive rollout drivers for SlotGPT dynamics.
+
+The in-module `forward_autoregressive` replicates the reference semantics by
+statically unrolling every step (each with its own window shape) — correct,
+but the compiled program grows linearly with num_preds and compile time
+dominates on short jobs. These drivers compute the SAME windowed-recompute
+math with:
+  * an unrolled *growing* phase only until the context window fills
+    (at most context_length - num_seed steps), then
+  * a `lax.scan` *sliding* phase whose body is compiled ONCE: the window
+    buffer is a fixed-shape carry, the action window is a dynamic slice of
+    the precomputed action sequence.
+
+Bitwise-equivalent (modulo float reassociation) to
+SlotGPTDynamicsModel.forward_autoregressive(get_pred_only=True); tested in
+tests/test_engine_rollout.py.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _fwd_single(predictor, variables, w_slots, w_act, w_var):
+    """Parallel forward over one window via the bound dynamics model."""
+    return predictor.apply(
+        variables, w_slots, w_act, w_var,
+        method=lambda m, s, a, v: m.dynamics_model.forward_single(
+            s, a, action_vars=v))
+
+
+def scan_rollout(predictor, variables, seed_slots, action_protos, action_vars,
+                 num_preds):
+    """
+    Windowed AR rollout with precomputed per-step action conditioning.
+
+    Args:
+        seed_slots: (B, num_seed, S, D).
+        action_protos: (B, >= num_seed + num_preds - 1, S, A).
+        action_vars: same shape or None.
+        num_preds: steps to predict.
+
+    Returns (B, num_preds, S, D).
+    """
+    L = predictor.DynamicsModel["model_params"].get("context_length", 8)
+    B, num_seed, S, D = seed_slots.shape
+    use_var = action_vars is not None
+
+    preds = []
+    window = seed_slots
+
+    # -------- growing phase (unrolled; at most L - num_seed steps)
+    grow_steps = min(max(L - num_seed, 0), num_preds)
+    for i in range(grow_steps):
+        idx = num_seed + i
+        w_act = action_protos[:, :idx]
+        w_var = action_vars[:, :idx] if use_var else None
+        cur = _fwd_single(predictor, variables, window, w_act, w_var)[:, -1:]
+        preds.append(cur[:, 0])
+        window = jnp.concatenate([window, cur], axis=1)
+
+    remaining = num_preds - grow_steps
+    if remaining > 0:
+        if window.shape[1] > L:  # num_seed > L case: crop once
+            window = window[:, -L:]
+        # -------- sliding phase (lax.scan, body compiled once)
+        # at scan step j (0-based), global idx = num_seed + grow_steps + j,
+        # action window = protos[:, idx - L : idx]
+        start0 = num_seed + grow_steps - L
+
+        def body(carry, j):
+            win = carry
+            w_act = jax.lax.dynamic_slice_in_dim(action_protos, start0 + j, L,
+                                                 axis=1)
+            w_var = jax.lax.dynamic_slice_in_dim(action_vars, start0 + j, L,
+                                                 axis=1) if use_var else None
+            cur = _fwd_single(predictor, variables, win, w_act, w_var)[:, -1]
+            win = jnp.concatenate([win[:, 1:], cur[:, None]], axis=1)
+            return win, cur
+
+        _, scan_preds = jax.lax.scan(body, window, jnp.arange(remaining))
+        preds_arr = jnp.moveaxis(scan_preds, 0, 1)  # (B, remaining, S, D)
+        if preds:
+            return jnp.concatenate([jnp.stack(preds, axis=1), preds_arr], axis=1)
+        return preds_arr
+    return jnp.stack(preds, axis=1)
+
+
+def posterior_rollout(predictor, variables, slot_history, num_seed, num_preds,
+                      rng, noise=None):
+    """
+    Posterior eval path: InvDyn actions from the full slot history, then
+    scan_rollout. Equivalent to
+    forward_multiple_samples(num_samples=1, use_posterior=True).
+    """
+    num_slots = slot_history.shape[2]
+    la_out = predictor.apply(
+        variables, slot_history, noise,
+        method=lambda m, s, nz: m.latent_action(s, noise=nz, train=False),
+        rngs={"action": rng})
+    protos = la_out["action_proto"]
+    avars = la_out["action_variability"] if predictor.use_variability else None
+    if protos.ndim == 3:  # single-action model: repeat per slot
+        protos = jnp.tile(protos[:, :, None, :], (1, 1, num_slots, 1))
+        if avars is not None:
+            avars = jnp.tile(avars[:, :, None, :], (1, 1, num_slots, 1))
+    return scan_rollout(predictor, variables, slot_history[:, :num_seed],
+                        protos, avars, num_preds)

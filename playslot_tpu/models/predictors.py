@@ -167,13 +167,14 @@ class BaseSlotLatentPredictor(nn.Module):
         target_idx = jax.random.randint(self.make_rng("action"), size, 0,
                                         self.num_actions)
         target = jnp.take(codebook, target_idx, axis=0)
-        source = jnp.take(codebook, jnp.broadcast_to(src_action_idx, size), axis=0)
+        src = jnp.asarray(src_action_idx)
+        while src.ndim < len(size):  # e.g. (B, T) source ids vs (B, T, 1) size
+            src = src[..., None]
+        source = jnp.take(codebook, jnp.broadcast_to(src, size), axis=0)
         alpha = jax.random.uniform(self.make_rng("action"), size) / 2.0
-        latents = (target - source) * alpha[..., None]
-        if latents.ndim != 4:  # single-action: inflate per slot
-            latents = _inflate_per_slot(latents[..., 0, :], slots.shape[2]) \
-                if latents.ndim == 4 else jnp.tile(latents, (1, 1, slots.shape[2], 1))
-        return latents
+        # single-action latents stay (B, T, 1, A) and broadcast over slots in
+        # the conditioning sum, exactly like the reference (511-532)
+        return (target - source) * alpha[..., None]
 
 
 class SlotLatentPredictor(BaseSlotLatentPredictor):

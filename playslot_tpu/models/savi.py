@@ -127,6 +127,35 @@ class SAVi(nn.Module):
         y = y.reshape(*lead, Ho, Wo, self.in_channels + 1)
         return alpha_composite(y, self.num_slots)
 
+    def decode_fast(self, slots):
+        """
+        Fused spatial-broadcast decode (ops/fused_decode.py): removes the
+        per-map broadcast materialization and the first-conv FLOPs on
+        spatially-constant data. Exact to float reassociation vs decode();
+        falls back to decode() for decoder configs it cannot fuse.
+        """
+        from playslot_tpu.ops.fused_decode import fused_broadcast_decode
+        from playslot_tpu.ops.grids import build_grid
+
+        dec = self.decoder_mod
+        fusable = (getattr(dec, "stride", 1) == 1
+                   and not getattr(dec, "batch_norm", False)
+                   and (dec.upsample is None or dec.upsample <= 1))
+        if not fusable:
+            return self.decode(slots)
+        rgba = fused_broadcast_decode(
+            slots,
+            grid=build_grid(self.decoder_resolution),
+            pos_params=self.decoder_pos_embedding.variables["params"],
+            dec_params=self.decoder_mod.variables["params"],
+            hidden_dims=dec.hidden_dims,
+            kernel_size=dec.kernel_size,
+            out_channels=self.in_channels + 1,
+            resolution=self.decoder_resolution,
+            dtype=self.dtype,
+        )
+        return alpha_composite(rgba, self.num_slots)
+
     # ------------------------------------------------------------ full video
     def __call__(self, x, num_imgs=None, decode=True, train=False,
                  initializer_kwargs=None, **kwargs):

@@ -63,12 +63,14 @@ class BehaviorTrainer(BaseTrainer):
         params = {"policy": None, "decoder": None}
         key = self._next_key()
         sample_slots = jnp.zeros((1, 2, mp["num_slots"], slot_dim), jnp.float32)
-        params["policy"] = self.policy.init(key, sample_slots)["params"]
+        params["policy"] = jax.jit(
+            lambda s: self.policy.init(key, s))(sample_slots)["params"]
         if not self.ORACLE:
             self.action_decoder = setup_action_decoder(
                 self.exp_params["action_decoder"])
             sample_lat = jnp.zeros((1, 2, action_dim), jnp.float32)
-            params["decoder"] = self.action_decoder.init(key, sample_lat)["params"]
+            params["decoder"] = jax.jit(
+                lambda z: self.action_decoder.init(key, z))(sample_lat)["params"]
         else:
             params.pop("decoder")
 

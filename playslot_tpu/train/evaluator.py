@@ -129,7 +129,7 @@ class PlaySlotEvaluator:
                 method=lambda m, *a, **k: m.forward_multiple_samples(*a, **k))
             # preds: (B, nsamp, npred, S, D) -> decode all at once
             pred_imgs, _, _ = savi.apply(
-                {"params": savi_p}, preds, method=lambda m, s: m.decode(s))
+                {"params": savi_p}, preds, method=lambda m, s: m.decode_fast(s))
             return jnp.clip(pred_imgs, 0, 1)  # (B, nsamp, npred, H, W, C)
 
         self._forward = forward

@@ -74,13 +74,14 @@ class PredictorTrainer(BaseTrainer):
         if self.is_action_cond:
             raw_dim = self.exp_params["predictor"]["predictor_params"]["raw_action_dim"]
             sample_actions = jnp.zeros((1, T, raw_dim), jnp.float32)
-            variables = self.predictor.init(
-                {"params": key, "action": key}, sample_slots, sample_actions,
-                num_seed=self.num_context, num_preds=self.num_preds)
+            variables = jax.jit(lambda s, a: self.predictor.init(
+                {"params": key, "action": key}, s, a,
+                num_seed=self.num_context, num_preds=self.num_preds))(
+                    sample_slots, sample_actions)
         else:
-            variables = self.predictor.init(
-                {"params": key, "action": key}, sample_slots,
-                num_seed=self.num_context, num_preds=self.num_preds)
+            variables = jax.jit(lambda s: self.predictor.init(
+                {"params": key, "action": key}, s,
+                num_seed=self.num_context, num_preds=self.num_preds))(sample_slots)
         params = variables["params"]
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
@@ -113,7 +114,7 @@ class PredictorTrainer(BaseTrainer):
             # through the decode into pred_slots, as in the reference)
             pred_imgs, _, _ = savi.apply(
                 {"params": savi_params}, pred_slots,
-                method=lambda m, s: m.decode(s))
+                method=lambda m, s: m.decode_fast(s))
             tensors = dict(
                 preds=pred_slots,
                 targets=slots[:, 1:nc + np_],

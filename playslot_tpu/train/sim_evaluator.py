@@ -123,8 +123,12 @@ class SimulationEvaluator:
     # ----------------------------------------------------------------- loop
     def evaluate(self):
         successes, episodes = [], []
+        img_size = self.exp_params["dataset"].get("img_size", (64, 64))
+        if isinstance(img_size, int):
+            img_size = (img_size, img_size)
         for ep in range(self.num_sims):
-            sim = setup_simulation(self.sim_name, seed=self.seed + ep)
+            sim = setup_simulation(self.sim_name, seed=self.seed + ep,
+                                   img_size=tuple(img_size))
             img = sim.init_seq()
             slots = np.asarray(self._encode_first(jnp.asarray(img)))  # (1, S, D)
             window = [slots]

@@ -134,7 +134,9 @@ class SAViTrainer(BaseTrainer):
         sample = jnp.zeros(
             (1, num_frames, *self._frame_shape()), jnp.float32)
         key = self._next_key()
-        variables = self.model.init({"params": key, "slots": key}, sample)
+        # jitted init: eager init is pathologically slow on relayed TPUs
+        variables = jax.jit(
+            lambda x: self.model.init({"params": key, "slots": key}, x))(sample)
         params = variables["params"]
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
