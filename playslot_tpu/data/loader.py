@@ -21,6 +21,11 @@ def _make_sketchy(**kw):
     return Sketchy(**kw)
 
 
+def _make_lerobot(**kw):
+    from playslot_tpu.data.lerobot_data import ButtonPressLeRobot
+    return ButtonPressLeRobot(**kw)
+
+
 DATASETS = {
     "GridShapes": lambda **kw: GridShapes(**kw),
     "BlockPush": lambda **kw: BlockPush(**kw),
@@ -28,6 +33,9 @@ DATASETS = {
     "ButtonPress": lambda **kw: ButtonPress(**kw),
     "ButtonPress_ExpertDemos": lambda **kw: ButtonPressExpertDemos(**kw),
     "Sketchy": _make_sketchy,
+    # snapshot's LeRobot rewiring of ButtonPress (SURVEY.md §0.1)
+    "lerobot/aloha_sim_transfer_cube_human": _make_lerobot,
+    "ButtonPress_LeRobot": _make_lerobot,
 }
 
 

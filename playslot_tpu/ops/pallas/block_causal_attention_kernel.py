@@ -1,0 +1,60 @@
+"""
+Fused Pallas TPU kernel for block-staircase causal attention over
+(frame x slot) token sequences (SURVEY.md §2.4 item 3): the mask
+"token of frame i attends to all slots of frames <= i" is computed inline
+from iota (never materialized in HBM), and QK^T -> mask -> softmax -> AV
+runs in one VMEM-resident pass per (batch*head).
+
+Sequences here are tiny (<= context_length * num_slots ~ 64-80 tokens), so
+one block per (batch, head) with everything resident is the right shape.
+XLA fallback: the masked MultiHeadAttention in models/blocks.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_slots, scale):
+    q = q_ref[0].astype(jnp.float32)   # (T, Dh)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    T = q.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale        # (T, T)
+
+    frame_q = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) // num_slots
+    frame_k = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) // num_slots
+    logits = jnp.where(frame_k <= frame_q, logits, jnp.float32(-1e9))
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    e = jnp.exp(logits - m)
+    attn = e / jnp.sum(e, axis=1, keepdims=True)
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def block_causal_attention_pallas(q, k, v, num_slots, interpret=False):
+    """
+    Args: q/k/v (BH, T, Dh) with T = num_frames * num_slots.
+    Returns (BH, T, Dh) attention output with the staircase mask applied.
+    """
+    BH, T, Dh = q.shape
+    scale = Dh ** -0.5
+    kernel = functools.partial(_kernel, num_slots=num_slots, scale=scale)
+    spec = pl.BlockSpec((1, T, Dh), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(BH,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((BH, T, Dh), v.dtype),
+        interpret=interpret,
+    )(q, k, v)

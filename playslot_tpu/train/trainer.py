@@ -72,8 +72,13 @@ class BaseTrainer:
         train_iters = tcfg.get("train_iters_per_epoch", 1000)
         valid_iters = tcfg.get("valid_iters_per_epoch", 100)
 
+        from playslot_tpu.train.callbacks import Callbacks
+        self.callbacks = Callbacks(self)
+
         try:
             for epoch in range(self.start_epoch, num_epochs):
+                self.epoch = epoch
+                self.callbacks.on_epoch_start(epoch)
                 t0 = time.time()
                 valid_losses = self.run_epoch(self.valid_loader, train=False,
                                               max_iters=valid_iters)
@@ -82,7 +87,7 @@ class BaseTrainer:
                 dt = time.time() - t0
                 print_(f"Epoch {epoch}: train={train_losses.get('_total', 0):.4f} "
                        f"valid={valid_losses.get('_total', 0):.4f} ({dt:.1f}s)")
-                self._log_losses(epoch, train_losses, valid_losses)
+                self.callbacks.on_epoch_end(epoch, train_losses, valid_losses)
                 if (epoch + 1) % save_freq == 0 or epoch == num_epochs - 1:
                     self.save(checkpoint_name(epoch=epoch))
                 self.save("checkpoint_last_saved")
@@ -94,18 +99,17 @@ class BaseTrainer:
 
     def run_epoch(self, loader, train, max_iters):
         tracker = LossTracker()
+        cbs = getattr(self, "callbacks", None)
         for i, batch in enumerate(loader):
             if i >= max_iters:
                 break
+            if cbs:
+                cbs.on_batch_start(getattr(self, "epoch", 0), i, train)
             losses = self.train_step(batch) if train else self.valid_step(batch)
             tracker.accumulate(losses)
+            if cbs:
+                cbs.on_batch_end(getattr(self, "epoch", 0), i, losses, train)
         return tracker.summary()
-
-    def _log_losses(self, epoch, train_losses, valid_losses):
-        self.training_losses[str(epoch)] = {
-            "train": train_losses, "valid": valid_losses}
-        with open(os.path.join(self.exp_path, "losses.json"), "w") as f:
-            json.dump(self.training_losses, f, indent=2)
 
     def _next_key(self, n=1):
         self.rng, *keys = jax.random.split(self.rng, n + 1)

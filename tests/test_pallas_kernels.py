@@ -1,0 +1,59 @@
+"""Pallas kernel parity vs XLA fallbacks (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from playslot_tpu.ops.slot_attention import slot_attention_iteration
+from playslot_tpu.ops.vq import nearest_codeword
+from playslot_tpu.ops.masks import build_slot_causal_mask
+from playslot_tpu.ops.pallas.slot_attention_kernel import (
+    slot_attention_iteration_pallas)
+from playslot_tpu.ops.pallas.block_causal_attention_kernel import (
+    block_causal_attention_pallas)
+from playslot_tpu.ops.pallas.vq_kernel import nearest_codeword_pallas
+
+
+def test_slot_attention_kernel_parity():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(3, 8, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 64, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(3, 64, 32), jnp.float32)
+    upd_ref, attn_ref = slot_attention_iteration(q, k, v)
+    upd, attn = slot_attention_iteration_pallas(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(upd), np.asarray(upd_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(attn), np.asarray(attn_ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_block_causal_attention_kernel_parity():
+    rng = np.random.RandomState(1)
+    S, F, Dh = 4, 3, 16
+    T = S * F
+    q = jnp.asarray(rng.randn(2, T, Dh), jnp.float32)
+    k = jnp.asarray(rng.randn(2, T, Dh), jnp.float32)
+    v = jnp.asarray(rng.randn(2, T, Dh), jnp.float32)
+
+    # XLA reference with the materialized mask
+    scale = Dh ** -0.5
+    logits = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+    mask = build_slot_causal_mask(F, S)
+    logits = jnp.where(mask[None] == 0, -1e9, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bqk,bkd->bqd", attn, v)
+
+    out = block_causal_attention_pallas(q, k, v, num_slots=S, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_vq_kernel_parity():
+    rng = np.random.RandomState(2)
+    z = jnp.asarray(rng.randn(5, 7, 16), jnp.float32)
+    cb = jnp.asarray(rng.randn(12, 16), jnp.float32)
+    zq_ref, idx_ref = nearest_codeword(z, cb)
+    zq, idx = nearest_codeword_pallas(z, cb, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(zq), np.asarray(zq_ref),
+                               atol=1e-5, rtol=1e-5)
