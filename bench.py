@@ -25,6 +25,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeat bench runs skip the ~40s compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 NUM_SEED, NUM_PREDS = 6, 15
 BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "64"))

@@ -166,3 +166,78 @@ class GridShapes:
             "masks": seg,
         }
         return video, video, meta
+
+
+class GridShapesExpertDemos:
+    """
+    Goal-directed expert demonstrations matching GridShapesSim physics:
+    a red ball agent moves toward a static green target square with grid
+    moves of speed 3, one axis at a time (largest remaining distance first),
+    emitting the continuous (dy, dx)/SPEED actions the simulator consumes.
+
+    Capability parity with the reference's expert GridShapes variant
+    (GridShapes.py:428-452 expert_speed_update) and the ExpertDemos datasets
+    used for behavior learning — but hermetic: no files, seeded per index.
+    """
+
+    def __init__(self, split="train", num_frames=16, img_size=64, shape_size=None,
+                 seed=13, length=None, num_expert_demos=-1, **kwargs):
+        self.split = split
+        self.num_frames = num_frames
+        self.R = img_size if isinstance(img_size, int) else img_size[0]
+        self.sz = shape_size if shape_size is not None else max(self.R // 5, 3)
+        self.seed = seed
+        n = length if length is not None else (1000 if split == "train" else 100)
+        if split == "train" and num_expert_demos and num_expert_demos > 0:
+            n = min(n, num_expert_demos)
+        self._length = n
+        self._agent_occ = _make_shape("ball", self.sz).astype(bool)
+        self._target_occ = _make_shape("square", self.sz).astype(bool)
+        self._agent_color = np.array(COLORS["red"], np.float32) / 255
+        self._target_color = np.array(COLORS["green"], np.float32) / 255
+
+    def __len__(self):
+        return self._length
+
+    def _seed_for(self, idx):
+        base = {"train": 0, "valid": 1 << 20, "val": 1 << 20,
+                "test": 2 << 20}.get(self.split, 3 << 20)
+        return self.seed * 7_368_787 + base + idx
+
+    def _render(self, agent, target):
+        img = np.zeros((self.R, self.R, 3), np.float32)
+        seg = np.zeros((self.R, self.R), np.int32)
+        ty, tx = target
+        img[ty:ty + self.sz, tx:tx + self.sz][self._target_occ] = self._target_color
+        seg[ty:ty + self.sz, tx:tx + self.sz][self._target_occ] = 2
+        ay, ax = agent
+        img[ay:ay + self.sz, ax:ax + self.sz][self._agent_occ] = self._agent_color
+        seg[ay:ay + self.sz, ax:ax + self.sz][self._agent_occ] = 1
+        return img, seg
+
+    def __getitem__(self, idx):
+        rng = np.random.RandomState(self._seed_for(idx))
+        lim = self.R - self.sz
+        agent = rng.randint(0, lim, size=2)
+        target = rng.randint(0, lim, size=2)
+
+        T = self.num_frames
+        video = np.empty((T, self.R, self.R, 3), np.float32)
+        segs = np.zeros((T, self.R, self.R), np.int32)
+        actions = np.zeros((T, 2), np.float32)
+        for t in range(T):
+            video[t], segs[t] = self._render(agent, target)
+            # expert policy: close the largest-distance axis first
+            dist = target - agent
+            move = np.zeros(2, np.int64)
+            axis = int(np.argmax(np.abs(dist)))
+            if np.abs(dist).max() > 0:
+                step = int(np.clip(dist[axis], -SPEED, SPEED))
+                move[axis] = step
+            actions[t] = move / SPEED
+            agent = np.clip(agent + move, 0, lim)
+
+        meta = {"actions": actions, "masks": segs,
+                "positions": np.zeros((T, 1, 2), np.float32),
+                "velocities": np.zeros((T, 1, 2), np.float32)}
+        return video, video, meta

@@ -10,7 +10,7 @@ feed directly into jitted device steps.
 import numpy as np
 
 from playslot_tpu.config import CONFIG
-from playslot_tpu.data.gridshapes import GridShapes
+from playslot_tpu.data.gridshapes import GridShapes, GridShapesExpertDemos
 from playslot_tpu.data.episodes import (
     BlockPush, BlockPushExpertDemos, ButtonPress, ButtonPressExpertDemos,
 )
@@ -28,6 +28,7 @@ def _make_lerobot(**kw):
 
 DATASETS = {
     "GridShapes": lambda **kw: GridShapes(**kw),
+    "GridShapes_ExpertDemos": lambda **kw: GridShapesExpertDemos(**kw),
     "BlockPush": lambda **kw: BlockPush(**kw),
     "BlockPush_ExpertDemos": lambda **kw: BlockPushExpertDemos(**kw),
     "ButtonPress": lambda **kw: ButtonPress(**kw),
@@ -59,38 +60,64 @@ class BatchIterator:
     (video, target, meta) samples into stacked numpy arrays.
     """
 
-    def __init__(self, dataset, batch_size, shuffle=True, seed=0, drop_last=True):
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0, drop_last=True,
+                 prefetch=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.prefetch = max(prefetch, 1)
         self.epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _collate(self, idxs):
+        samples = [self.dataset[int(i)] for i in idxs]
+        videos = np.stack([s[0] for s in samples])
+        targets = np.stack([s[1] for s in samples])
+        metas = {}
+        keys = samples[0][2].keys() if isinstance(samples[0][2], dict) else []
+        for k in keys:
+            vals = [np.asarray(s[2][k]) for s in samples]
+            if vals[0].size > 0 and all(v.shape == vals[0].shape for v in vals):
+                metas[k] = np.stack(vals)
+        return videos, targets, metas
+
     def __iter__(self):
+        """Background-thread prefetch: the next batch is assembled on the
+        host while the device crunches the current one."""
+        import queue
+        import threading
+
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
-        for start in range(0, n, self.batch_size):
-            idxs = order[start:start + self.batch_size]
-            if len(idxs) < self.batch_size and self.drop_last:
+
+        starts = [s for s in range(0, n, self.batch_size)
+                  if len(order[s:s + self.batch_size]) == self.batch_size
+                  or not self.drop_last]
+        q = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for s in starts:
+                    q.put(self._collate(order[s:s + self.batch_size]))
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
                 return
-            samples = [self.dataset[int(i)] for i in idxs]
-            videos = np.stack([s[0] for s in samples])
-            targets = np.stack([s[1] for s in samples])
-            metas = {}
-            keys = samples[0][2].keys() if isinstance(samples[0][2], dict) else []
-            for k in keys:
-                vals = [np.asarray(s[2][k]) for s in samples]
-                if vals[0].size > 0 and all(v.shape == vals[0].shape for v in vals):
-                    metas[k] = np.stack(vals)
-            yield videos, targets, metas
+            yield item
 
 
 def build_data_loader(dataset, batch_size=64, shuffle=False, seed=None):

@@ -14,6 +14,7 @@ Also covers the oracle variant (src/10_train_oracle.py): slots -> GT actions
 with action_mse only.
 """
 
+import functools
 import os
 
 import jax
@@ -125,7 +126,7 @@ class BehaviorTrainer(BaseTrainer):
             total, ldict = compute_losses(loss_cfg, **tensors)
             return total, ldict
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, videos, gt_actions, k0, k1):
             (_, ldict), grads = jax.value_and_grad(
                 lambda p: forward(p, videos, gt_actions, (k0, k1), True),

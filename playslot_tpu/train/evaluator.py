@@ -176,5 +176,115 @@ class PlaySlotEvaluator:
             os.makedirs(out_dir, exist_ok=True)
             with open(os.path.join(out_dir, "results.json"), "w") as f:
                 json.dump({"results": res}, f, indent=4)
+            try:
+                from playslot_tpu.utils.visualizations import plot_metric_framewise
+                for mk, mv in res.items():
+                    if mv.get("framewise"):
+                        plot_metric_framewise(
+                            mv["framewise"], mk,
+                            os.path.join(out_dir, f"{mk}_framewise.png"),
+                            start_idx=self.num_seed)
+            except Exception:
+                pass
             print_(f"{name} results: { {k: v['mean'] for k, v in res.items()} }")
+        return results
+
+
+class OCVPEvaluator:
+    """
+    Deterministic video-prediction eval for the unconditional OCVP family and
+    ActionCondOCVP (reference src/05_evaluate_OCVP.py): AR rollout with the
+    sliding input buffer (PredictorWrapper semantics) or GT-action
+    conditioning, predictions cropped to the forecast horizon.
+    """
+
+    def __init__(self, exp_path, savi_params, pred_variables, num_seed=6,
+                 num_preds=15, batch_size=None, results_name="eval_ocvp",
+                 metrics=DEFAULT_METRICS):
+        self.exp_path = exp_path
+        self.exp_params = Config.load(exp_path)
+        self.savi_params = savi_params
+        self.pred_variables = pred_variables
+        self.num_seed = num_seed
+        self.num_preds = num_preds
+        self.batch_size = batch_size or self.exp_params["training"]["batch_size"]
+        self.results_name = results_name
+        self.metrics = metrics
+        self.exp_params["dataset"]["num_frames"] = num_seed + num_preds
+
+        self.savi = setup_model(self.exp_params["model"])
+        self.predictor_name = self.exp_params["predictor"]["predictor_name"]
+        self.predictor = setup_predictor(
+            self.exp_params["predictor"],
+            savi_params=self.exp_params["model"]["model_params"])
+        self.is_action_cond = self.predictor_name == "ActionCondOCVP"
+        buffer_size = self.exp_params["prediction_params"].get(
+            "input_buffer_size", 30)
+
+        savi, predictor = self.savi, self.predictor
+        ns, npred = self.num_seed, self.num_preds
+
+        @jax.jit
+        def forward(savi_p, pred_v, videos, actions, k_slots):
+            from playslot_tpu.models.ocvp import predictor_wrapper_rollout
+            slots = savi.apply({"params": savi_p}, videos, decode=False,
+                               rngs={"slots": k_slots})["slot_history"]
+            if self.is_action_cond:
+                pred_slots, _ = predictor.apply(pred_v, slots, actions,
+                                                num_seed=ns, num_preds=npred)
+                pred_slots = pred_slots[:, ns - 1:ns + npred - 1]
+            else:
+                pred_slots = predictor_wrapper_rollout(
+                    lambda s: predictor.apply(pred_v, s), slots,
+                    num_context=ns, num_preds=npred,
+                    input_buffer_size=buffer_size, teacher_force=False,
+                    get_pred_only=True)
+            pred_imgs, _, _ = savi.apply({"params": savi_p}, pred_slots,
+                                         method=lambda m, s: m.decode_fast(s))
+            return jnp.clip(pred_imgs, 0, 1)
+
+        self._forward = forward
+        self.rng = jax.random.PRNGKey(13)
+
+    def evaluate(self, max_batches=None, expert_policy=False):
+        if expert_policy:
+            name = self.exp_params["dataset"]["dataset_name"]
+            if not name.endswith("_ExpertDemos"):
+                self.exp_params["dataset"]["dataset_name"] = name + "_ExpertDemos"
+        ds = load_data(self.exp_params, split="test")
+        loader = build_data_loader(ds, batch_size=self.batch_size, shuffle=False)
+        tracker = MetricTracker(self.metrics)
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            videos, _, _, others = unwrap_batch_data(self.exp_params, batch)
+            videos = jnp.asarray(videos)
+            actions = others.get("actions")
+            actions = jnp.asarray(actions, jnp.float32) \
+                if actions is not None and actions.size else None
+            self.rng, k = jax.random.split(self.rng)
+            preds = np.asarray(self._forward(
+                self.savi_params["params"], self.pred_variables, videos,
+                actions, k))
+            targets = np.clip(np.asarray(
+                videos[:, self.num_seed:self.num_seed + self.num_preds]), 0, 1)
+            tracker.accumulate(preds, targets)
+
+        results = tracker.aggregate()
+        out_dir = os.path.join(self.exp_path, "results", self.results_name)
+        os.makedirs(out_dir, exist_ok=True)
+        import json
+        with open(os.path.join(out_dir, "results.json"), "w") as f:
+            json.dump({"results": results}, f, indent=4)
+        try:
+            from playslot_tpu.utils.visualizations import plot_metric_framewise
+            for k2, v in results.items():
+                if v.get("framewise"):
+                    plot_metric_framewise(
+                        v["framewise"], k2,
+                        os.path.join(out_dir, f"{k2}_framewise.png"),
+                        start_idx=self.num_seed)
+        except Exception:
+            pass
+        print_(f"OCVP eval results: { {k2: v['mean'] for k2, v in results.items()} }")
         return results

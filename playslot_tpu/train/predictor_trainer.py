@@ -9,6 +9,7 @@ src/04_train_PlaySlot.py / 04_train_OCVP.py:
   * VQ-EMA codebook state threaded through the jitted step (mutable 'vq').
 """
 
+import functools
 import os
 
 import flax
@@ -62,7 +63,8 @@ class PredictorTrainer(BaseTrainer):
     def setup_predictor(self):
         self.predictor = setup_predictor(
             self.exp_params["predictor"],
-            savi_params=self.exp_params["model"]["model_params"])
+            savi_params=self.exp_params["model"]["model_params"],
+            dtype=self._compute_dtype())
         self.tx, self.lr_schedule = build_optimizer(self.exp_params["training"])
         num_slots = self.exp_params["model"]["model_params"]["num_slots"]
         slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
@@ -86,6 +88,8 @@ class PredictorTrainer(BaseTrainer):
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             vq=variables.get("vq", {}), opt_state=self.tx.init(params))
+        self.log_architecture(self.predictor, params,
+                              fname="architecture_predictor.txt")
         if self.checkpoint:
             self.restore(self.checkpoint)
         self._build_steps()
@@ -128,7 +132,7 @@ class PredictorTrainer(BaseTrainer):
             total, ldict = compute_losses(loss_cfg, **tensors)
             return total, (ldict, new_vars.get("vq", vq))
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, videos, actions, k0, k1):
             grad_fn = jax.value_and_grad(
                 lambda p: forward(p, state.vq, videos, actions, (k0, k1), True),

@@ -8,6 +8,7 @@ orbax; losses.json + logs.txt mirror the reference experiment tree.
 """
 
 import json
+import functools
 import os
 import time
 
@@ -111,6 +112,20 @@ class BaseTrainer:
                 cbs.on_batch_end(getattr(self, "epoch", 0), i, losses, train)
         return tracker.summary()
 
+    def log_architecture(self, model, params, fname="architecture.txt"):
+        """Model summary + parameter count (reference utils.py:192-233)."""
+        import jax
+        count = sum(int(np.prod(p.shape))
+                    for p in jax.tree_util.tree_leaves(params))
+        with open(os.path.join(self.exp_path, fname), "w") as f:
+            f.write(f"{model}\n\nTotal parameters: {count}\n")
+        print_(f"  --> {type(model).__name__}: {count} parameters")
+
+    def _compute_dtype(self):
+        """bf16 compute when training.compute_dtype == 'bfloat16' (f32 default)."""
+        name = self.exp_params.get("training", {}).get("compute_dtype")
+        return jnp.bfloat16 if name == "bfloat16" else None
+
     def _next_key(self, n=1):
         self.rng, *keys = jax.random.split(self.rng, n + 1)
         return keys[0] if n == 1 else keys
@@ -132,7 +147,8 @@ class SAViTrainer(BaseTrainer):
     """Stage-1: train SAVi with MSE reconstruction (02_train_savi.py)."""
 
     def setup_model(self):
-        self.model = setup_model(self.exp_params["model"])
+        self.model = setup_model(self.exp_params["model"],
+                                 dtype=self._compute_dtype())
         self.tx, self.lr_schedule = build_optimizer(self.exp_params["training"])
         num_frames = self.exp_params["dataset"].get("num_frames", 8)
         sample = jnp.zeros(
@@ -145,6 +161,7 @@ class SAViTrainer(BaseTrainer):
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
             vq=variables.get("vq", {}), opt_state=self.tx.init(params))
+        self.log_architecture(self.model, params)
         if self.checkpoint:
             self.restore(self.checkpoint)
         self._build_steps()
@@ -166,7 +183,7 @@ class SAViTrainer(BaseTrainer):
                 loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
             return total, ldict
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, videos, key):
             (_, ldict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, videos, key)
