@@ -1,0 +1,179 @@
+"""
+GridShapes-on-device: the procedural moving-shapes generator as a pure
+jax.random program, compiled by XLA and executed ON the TPU.
+
+Rationale (SURVEY.md §7.1 "GridShapes as a pure-jax.random synthetic
+generator"): the reference generates training data in a host Python loop and
+ships frames to the device every step (GridShapes.py:346-418). Under this
+environment's relayed TPU, host->device bandwidth (~30 MB/s) would dominate
+the train step; generating on device removes host I/O from the training loop
+entirely and keeps CI hermetic.
+
+Semantics match data/gridshapes.py (same shapes/colors/speed-3 grid moves /
+direction re-roll probabilities / border bounce / painter's compositing),
+with jax.random streams instead of numpy RNG.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from playslot_tpu.data.gridshapes import COLORS, SPEED
+
+_COLOR_TABLE = jnp.asarray(np.array(list(COLORS.values()), np.float32) / 255.0)
+_NUM_SHAPES = 3  # ball, triangle, square
+
+
+def _shape_mask(local_y, local_x, shape_id, sz):
+    """Occupancy of a shape at local coords (broadcast over pixels)."""
+    h = sz // 2
+    inside = (local_y >= 0) & (local_y < sz) & (local_x >= 0) & (local_x < sz)
+    ball = ((local_y - h) ** 2 + (local_x - h) ** 2) <= h ** 2
+    tri = ((local_x - h) <= (local_y / 2 + 1e-6)) & \
+        ((h - local_x) <= (local_y / 2 + 1e-6))
+    square = jnp.ones_like(ball)
+    sel = jnp.where(shape_id == 0, ball, jnp.where(shape_id == 1, tri, square))
+    return inside & sel
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "num_frames", "num_balls",
+                                             "img_size", "shape_size"))
+def generate_batch(key, batch=32, num_frames=10, num_balls=2, img_size=64,
+                   change_prob=0.25, shape_size=21):
+    """
+    Returns dict:
+      videos (B, T, R, R, 3) f32 in [0,1],
+      actions (B, T, S) int32 (discrete grid-move ids, reference encoding),
+      masks (B, T, R, R) int32 instance segmentation (0 = background),
+      velocities (B, T, S, 2) f32 normalized.
+    """
+    B, T, S, R, sz = batch, num_frames, num_balls, img_size, shape_size
+    k_shape, k_color, k_pos, k_dir, k_roll = jax.random.split(key, 5)
+
+    shape_ids = jax.random.randint(k_shape, (B, S), 0, _NUM_SHAPES)
+    color_ids = jax.random.randint(k_color, (B, S), 0, _COLOR_TABLE.shape[0])
+    colors = _COLOR_TABLE[color_ids]  # (B, S, 3)
+    pos = jax.random.randint(k_pos, (B, S, 2), 0, R - sz).astype(jnp.int32)
+
+    axis = jax.random.randint(k_dir, (B, S), 0, 2)
+    sign = jnp.where(jax.random.uniform(k_dir, (B, S)) < 0.5, 1, -1)
+    speed = jnp.where(jnp.stack([axis == 0, axis == 1], -1),
+                      (SPEED * sign)[..., None], 0).astype(jnp.int32)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+
+    def render(pos, shape_ids, colors):
+        """One frame for the whole batch: painter's algorithm over objects."""
+        frame = jnp.zeros((B, R, R, 3), jnp.float32)
+        seg = jnp.zeros((B, R, R), jnp.int32)
+        for j in range(S):  # static tiny loop
+            ly = yy[None] - pos[:, j, 0][:, None, None]
+            lx = xx[None] - pos[:, j, 1][:, None, None]
+            m = _shape_mask(ly, lx, shape_ids[:, j][:, None, None], sz)
+            frame = jnp.where(m[..., None], colors[:, j][:, None, None, :], frame)
+            seg = jnp.where(m, j + 1, seg)
+        return frame, seg
+
+    def reroll(speed, k):
+        """Direction re-roll with prob change_prob (5-way: 4 dirs + stop)."""
+        k1, k2 = jax.random.split(k)
+        do = jax.random.uniform(k1, (B, S)) < change_prob
+        mag = jnp.abs(speed).max(axis=-1)
+        mag = jnp.where(mag == 0, SPEED, mag)
+        r = jax.random.uniform(k2, (B, S))
+        sy = jnp.where(r < 0.2, mag, 0) + jnp.where((r >= 0.2) & (r < 0.4), -mag, 0)
+        sx = jnp.where((r >= 0.4) & (r < 0.6), mag, 0) \
+            + jnp.where((r >= 0.6) & (r < 0.8), -mag, 0)
+        new_speed = jnp.stack([sy, sx], axis=-1).astype(jnp.int32)
+        return jnp.where(do[..., None], new_speed, speed)
+
+    def action_id(speed):
+        sy, sx = speed[..., 0], speed[..., 1]
+        return jnp.where((sx > 0) & (sy == 0), 0,
+               jnp.where((sx < 0) & (sy == 0), 1,
+               jnp.where((sy > 0) & (sx == 0), 2,
+               jnp.where((sy < 0) & (sx == 0), 3, 4)))).astype(jnp.int32)
+
+    def step(carry, k):
+        pos, speed = carry
+        speed = reroll(speed, k)
+        act = action_id(speed)
+        nxt = pos + speed
+        # border bounce (reference _move_shape semantics)
+        under = nxt < 0
+        over = nxt > (R - sz)
+        nxt = jnp.where(under, 0, jnp.where(over, R - sz - 1, nxt))
+        speed = jnp.where(under | over, -speed, speed)
+        frame, seg = render(nxt, shape_ids, colors)
+        return (nxt, speed), (frame, seg, act, speed)
+
+    keys = jax.random.split(k_roll, T)
+    (_, _), (frames, segs, acts, speeds) = jax.lax.scan(step, (pos, speed), keys)
+
+    return {
+        "videos": jnp.moveaxis(frames, 0, 1),
+        "masks": jnp.moveaxis(segs, 0, 1),
+        "actions": jnp.moveaxis(acts, 0, 1),
+        "velocities": jnp.moveaxis(speeds, 0, 1).astype(jnp.float32) / SPEED,
+    }
+
+
+class GridShapesOnDevice:
+    """
+    Device-resident dataset: batches are generated by XLA on the accelerator,
+    no host I/O. Plugs into build_data_loader via the `is_device_dataset`
+    protocol.
+    """
+
+    is_device_dataset = True
+
+    def __init__(self, split="train", num_frames=10, num_balls=2, img_size=64,
+                 change_prob=0.25, shape_size=21, seed=13, length=None, **kwargs):
+        self.split = split
+        self.num_frames = num_frames
+        self.num_balls = num_balls
+        self.img_size = img_size if isinstance(img_size, int) else img_size[0]
+        self.change_prob = change_prob
+        self.shape_size = shape_size
+        base = {"train": 0, "valid": 1, "val": 1, "test": 2}.get(split, 3)
+        self.base_key = jax.random.fold_in(jax.random.PRNGKey(seed), base)
+        self._length = length if length is not None else (
+            10000 if split == "train" else 512)
+
+    def __len__(self):
+        return self._length
+
+    def batches(self, batch_size, shuffle=True, seed=0, epoch=0):
+        n_batches = max(self._length // batch_size, 1)
+        key = jax.random.fold_in(self.base_key, 0 if self.split != "train" else epoch)
+        for i in range(n_batches):
+            out = generate_batch(
+                jax.random.fold_in(key, i), batch=batch_size,
+                num_frames=self.num_frames, num_balls=self.num_balls,
+                img_size=self.img_size, change_prob=self.change_prob,
+                shape_size=self.shape_size)
+            meta = {k: out[k] for k in ("actions", "masks", "velocities")}
+            yield out["videos"], out["videos"], meta
+
+
+class DeviceBatchIterator:
+    """Adapter exposing GridShapesOnDevice through the BatchIterator API."""
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self):
+        return max(len(self.dataset) // self.batch_size, 1)
+
+    def __iter__(self):
+        it = self.dataset.batches(self.batch_size, self.shuffle, self.seed,
+                                  epoch=self.epoch)
+        self.epoch += 1
+        return it

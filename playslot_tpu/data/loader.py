@@ -26,9 +26,16 @@ def _make_lerobot(**kw):
     return ButtonPressLeRobot(**kw)
 
 
+def _make_gridshapes_device(**kw):
+    from playslot_tpu.data.gridshapes_jax import GridShapesOnDevice
+    return GridShapesOnDevice(**kw)
+
+
 DATASETS = {
     "GridShapes": lambda **kw: GridShapes(**kw),
     "GridShapes_ExpertDemos": lambda **kw: GridShapesExpertDemos(**kw),
+    # XLA-compiled on-device generator (no host I/O in the train loop)
+    "GridShapesOnDevice": _make_gridshapes_device,
     "BlockPush": lambda **kw: BlockPush(**kw),
     "BlockPush_ExpertDemos": lambda **kw: BlockPushExpertDemos(**kw),
     "ButtonPress": lambda **kw: ButtonPress(**kw),
@@ -122,6 +129,12 @@ class BatchIterator:
 
 def build_data_loader(dataset, batch_size=64, shuffle=False, seed=None):
     """Mirror of reference build_data_loader (load_data.py:72-92)."""
+    if getattr(dataset, "is_device_dataset", False):
+        from playslot_tpu.data.gridshapes_jax import DeviceBatchIterator
+        return DeviceBatchIterator(dataset, batch_size=batch_size,
+                                   shuffle=shuffle,
+                                   seed=seed if seed is not None
+                                   else CONFIG["random_seed"])
     return BatchIterator(dataset, batch_size=batch_size, shuffle=shuffle,
                          seed=seed if seed is not None else CONFIG["random_seed"])
 

@@ -98,23 +98,34 @@ def compute_losses(loss_cfg, **tensors):
 
 
 class LossTracker:
-    """Host-side running average of per-iteration loss dicts."""
+    """
+    Running average of per-iteration loss dicts. Values may be live device
+    scalars — they are only fetched in summary(), so the train loop never
+    synchronizes with the device per step (important on high-latency
+    relayed TPU backends).
+    """
 
     def __init__(self):
-        self.sums = {}
-        self.counts = {}
+        self.records = []
 
     def accumulate(self, loss_dict):
-        for k, v in loss_dict.items():
-            v = float(np.asarray(v))
-            if not np.isfinite(v):
-                import warnings
-                warnings.warn(f"Loss '{k}' is not finite: {v}")
-            self.sums[k] = self.sums.get(k, 0.0) + v
-            self.counts[k] = self.counts.get(k, 0) + 1
+        self.records.append(dict(loss_dict))
 
     def summary(self):
-        return {k: self.sums[k] / max(self.counts[k], 1) for k in self.sums}
+        if not self.records:
+            return {}
+        import jax
+        host = jax.device_get(self.records)
+        sums, counts = {}, {}
+        for rec in host:
+            for k, v in rec.items():
+                v = float(np.asarray(v))
+                if not np.isfinite(v):
+                    import warnings
+                    warnings.warn(f"Loss '{k}' is not finite: {v}")
+                sums[k] = sums.get(k, 0.0) + v
+                counts[k] = counts.get(k, 0) + 1
+        return {k: sums[k] / max(counts[k], 1) for k in sums}
 
     def reset(self):
-        self.sums, self.counts = {}, {}
+        self.records = []

@@ -71,9 +71,14 @@ class PredictorTrainer(BaseTrainer):
         T = self.num_context + self.num_preds
         sample_slots = jnp.zeros((1, T, num_slots, slot_dim), jnp.float32)
         key = self._next_key()
-        self.is_action_cond = (
-            self.exp_params["predictor"]["predictor_name"] == "ActionCondOCVP")
-        if self.is_action_cond:
+        pred_name = self.exp_params["predictor"]["predictor_name"]
+        self.is_action_cond = pred_name == "ActionCondOCVP"
+        from playslot_tpu.models.ocvp import OCVP_MODELS
+        self.is_ocvp = pred_name in OCVP_MODELS
+        if self.is_ocvp:
+            variables = jax.jit(lambda s: self.predictor.init(key, s))(
+                sample_slots)
+        elif self.is_action_cond:
             raw_dim = self.exp_params["predictor"]["predictor_params"]["raw_action_dim"]
             sample_actions = jnp.zeros((1, T, raw_dim), jnp.float32)
             variables = jax.jit(lambda s, a: self.predictor.init(
@@ -103,16 +108,38 @@ class PredictorTrainer(BaseTrainer):
         Tm1 = nc + np_ - 1
         is_action_cond = self.is_action_cond
 
+        is_ocvp = self.is_ocvp
+        teacher_force = self.exp_params["prediction_params"].get(
+            "teacher_force", False)
+        buffer_size = self.exp_params["prediction_params"].get(
+            "input_buffer_size", 30)
+
         def forward(params, vq, videos, actions, keys, train):
             slots = savi.apply(
                 {"params": savi_params}, videos, num_imgs=nc + np_, decode=False,
                 rngs={"slots": keys[0]})["slot_history"]
             slots = jax.lax.stop_gradient(slots)
-            pred_args = (slots, actions) if is_action_cond else (slots,)
-            (pred_slots, out), new_vars = predictor.apply(
-                {"params": params, "vq": vq}, *pred_args,
-                num_seed=nc, num_preds=np_, train=train,
-                rngs={"action": keys[1]}, mutable=["vq"])
+            if is_ocvp:
+                # unconditional OCVP family: sliding-buffer AR rollout
+                # (reference 04_train_OCVP.py + PredictorWrapper semantics:
+                # teacher forcing only in train mode)
+                from playslot_tpu.models.ocvp import predictor_wrapper_rollout
+                rngs = {"dropout": keys[1]} if train else None
+                pred_slots = predictor_wrapper_rollout(
+                    lambda x: predictor.apply({"params": params}, x,
+                                              deterministic=not train,
+                                              rngs=rngs),
+                    slots, num_context=nc, num_preds=np_,
+                    input_buffer_size=buffer_size,
+                    teacher_force=teacher_force and train,
+                    get_pred_only=False)
+                out, new_vars = {}, {}
+            else:
+                pred_args = (slots, actions) if is_action_cond else (slots,)
+                (pred_slots, out), new_vars = predictor.apply(
+                    {"params": params, "vq": vq}, *pred_args,
+                    num_seed=nc, num_preds=np_, train=train,
+                    rngs={"action": keys[1]}, mutable=["vq"])
             pred_slots = pred_slots[:, :Tm1]
             # decode predicted slots with frozen SAVi (gradients DO flow
             # through the decode into pred_slots, as in the reference)
