@@ -177,3 +177,90 @@ class DeviceBatchIterator:
                                   epoch=self.epoch)
         self.epoch += 1
         return it
+
+
+# ---------------------------------------------------------------------------
+# expert (goal-directed) variant: red ball agent chases a green square target
+# ---------------------------------------------------------------------------
+
+_RED = jnp.asarray(np.array(COLORS["red"], np.float32) / 255.0)
+_GREEN = jnp.asarray(np.array(COLORS["green"], np.float32) / 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "num_frames", "img_size",
+                                             "shape_size"))
+def generate_expert_batch(key, batch=32, num_frames=16, img_size=64,
+                          shape_size=None):
+    """
+    Goal-directed demos matching data/gridshapes.py::GridShapesExpertDemos
+    and data/simulation.py::GridShapesSim, generated on device.
+    Returns videos (B,T,R,R,3), actions (B,T,2) continuous in [-1,1],
+    masks (B,T,R,R) with agent=1 target=2.
+    """
+    B, T, R = batch, num_frames, img_size
+    sz = shape_size if shape_size is not None else max(R // 5, 3)
+    k_a, k_t = jax.random.split(key)
+    agent = jax.random.randint(k_a, (B, 2), 0, R - sz).astype(jnp.int32)
+    target = jax.random.randint(k_t, (B, 2), 0, R - sz).astype(jnp.int32)
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    h = sz // 2
+
+    def render(agent):
+        ty = yy[None] - target[:, 0][:, None, None]
+        tx = xx[None] - target[:, 1][:, None, None]
+        tmask = (ty >= 0) & (ty < sz) & (tx >= 0) & (tx < sz)
+        ay = yy[None] - agent[:, 0][:, None, None]
+        ax = xx[None] - agent[:, 1][:, None, None]
+        amask = ((ay - h) ** 2 + (ax - h) ** 2 <= h ** 2) \
+            & (ay >= 0) & (ay < sz) & (ax >= 0) & (ax < sz)
+        frame = jnp.zeros((B, R, R, 3), jnp.float32)
+        frame = jnp.where(tmask[..., None], _GREEN, frame)
+        frame = jnp.where(amask[..., None], _RED, frame)
+        seg = jnp.where(tmask, 2, 0).astype(jnp.int32)
+        seg = jnp.where(amask, 1, seg)
+        return frame, seg
+
+    def step(agent, _):
+        frame, seg = render(agent)
+        dist = target - agent
+        use_y = jnp.abs(dist[:, 0]) >= jnp.abs(dist[:, 1])
+        step_y = jnp.clip(dist[:, 0], -SPEED, SPEED) * use_y
+        step_x = jnp.clip(dist[:, 1], -SPEED, SPEED) * (~use_y)
+        move = jnp.stack([step_y, step_x], axis=-1).astype(jnp.int32)
+        action = move.astype(jnp.float32) / SPEED
+        nxt = jnp.clip(agent + move, 0, R - sz)
+        return nxt, (frame, seg, action)
+
+    _, (frames, segs, acts) = jax.lax.scan(step, agent, None, length=T)
+    return {
+        "videos": jnp.moveaxis(frames, 0, 1),
+        "masks": jnp.moveaxis(segs, 0, 1),
+        "actions": jnp.moveaxis(acts, 0, 1),
+    }
+
+
+class GridShapesExpertOnDevice(GridShapesOnDevice):
+    """Device-resident goal-directed expert demos (behavior stage)."""
+
+    def __init__(self, split="train", num_frames=16, img_size=64,
+                 shape_size=None, seed=13, length=None, num_expert_demos=-1,
+                 **kwargs):
+        super().__init__(split=split, num_frames=num_frames, img_size=img_size,
+                         seed=seed, length=length, **kwargs)
+        self.shape_size = shape_size
+        if length is None:
+            self._length = 2048 if split == "train" else 256
+
+    def batches(self, batch_size, shuffle=True, seed=0, epoch=0):
+        n_batches = max(self._length // batch_size, 1)
+        key = jax.random.fold_in(self.base_key,
+                                 0 if self.split != "train" else epoch)
+        for i in range(n_batches):
+            out = generate_expert_batch(
+                jax.random.fold_in(key, i), batch=batch_size,
+                num_frames=self.num_frames, img_size=self.img_size,
+                shape_size=self.shape_size)
+            yield out["videos"], out["videos"], {
+                "actions": out["actions"], "masks": out["masks"]}

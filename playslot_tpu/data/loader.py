@@ -36,6 +36,9 @@ DATASETS = {
     "GridShapes_ExpertDemos": lambda **kw: GridShapesExpertDemos(**kw),
     # XLA-compiled on-device generator (no host I/O in the train loop)
     "GridShapesOnDevice": _make_gridshapes_device,
+    "GridShapesOnDevice_ExpertDemos": lambda **kw: __import__(
+        "playslot_tpu.data.gridshapes_jax", fromlist=["x"]
+    ).GridShapesExpertOnDevice(**kw),
     "BlockPush": lambda **kw: BlockPush(**kw),
     "BlockPush_ExpertDemos": lambda **kw: BlockPushExpertDemos(**kw),
     "ButtonPress": lambda **kw: ButtonPress(**kw),

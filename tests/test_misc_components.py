@@ -1,0 +1,114 @@
+"""Coverage for smaller components: initializers, resume roundtrip,
+distributed helpers, device dataset in a trainer, metrics sanity."""
+
+import copy
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from playslot_tpu.models.initializers import get_initializer
+
+
+def test_learned_and_coord_initializers(rng):
+    init = get_initializer("Learned", slot_dim=8, num_slots=3)
+    params = init.init(rng, batch_size=2)
+    slots = init.apply(params, batch_size=2)
+    assert slots.shape == (2, 3, 8)
+    # same slots for every batch row (no sampling)
+    np.testing.assert_allclose(np.asarray(slots[0]), np.asarray(slots[1]))
+
+    cinit = get_initializer("CoM", slot_dim=8, num_slots=4)
+    coords = jnp.zeros((2, 2, 2)) + 0.5  # 2 objects -> pad 2 slots
+    cparams = cinit.init(rng, batch_size=2, com_coords=coords)
+    cslots = cinit.apply(cparams, batch_size=2, com_coords=coords)
+    assert cslots.shape == (2, 4, 8)
+
+    binit = get_initializer("BBox", slot_dim=8, num_slots=2)
+    bbox = jnp.zeros((2, 2, 4)) + 0.3
+    bparams = binit.init(rng, batch_size=2, bbox_coords=bbox)
+    assert binit.apply(bparams, batch_size=2, bbox_coords=bbox).shape == (2, 2, 8)
+
+
+def test_trainer_save_restore_roundtrip(tmp_path):
+    from playslot_tpu.train.trainer import SAViTrainer
+    from tests.test_training import _tiny_exp
+
+    _tiny_exp(tmp_path)
+    tr = SAViTrainer(str(tmp_path))
+    tr.load_data()
+    tr.setup_model()
+    tr.training_loop()
+    step_after = int(tr.state.step)
+    leaf_before = np.asarray(
+        jax.tree_util.tree_leaves(tr.state.params)[0]).copy()
+
+    tr2 = SAViTrainer(str(tmp_path), checkpoint="checkpoint_epoch_final",
+                      resume_training=True)
+    tr2.load_data()
+    tr2.setup_model()
+    assert int(tr2.state.step) == step_after
+    assert tr2.start_epoch == 1
+    leaf_restored = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
+    np.testing.assert_allclose(leaf_before, leaf_restored)
+
+
+def test_device_dataset_in_trainer(tmp_path):
+    """GridShapesOnDevice plugs into the SAVi trainer end to end."""
+    from playslot_tpu.train.trainer import SAViTrainer
+    from tests.test_training import _tiny_exp
+
+    cfg = _tiny_exp(tmp_path)
+    cfg["dataset"].update({"dataset_name": "GridShapesOnDevice",
+                           "num_frames": 3, "num_balls": 2, "img_size": 16,
+                           "shape_size": 5, "length": 8})
+    cfg.save()
+    tr = SAViTrainer(str(tmp_path))
+    tr.load_data()
+    tr.setup_model()
+    tr.training_loop()
+    assert os.path.isdir(tmp_path / "models" / "checkpoint_epoch_final")
+
+
+def test_process_shard_partition():
+    from playslot_tpu.parallel.distributed import process_shard
+    covered = []
+    for pi in range(3):
+        s, e = process_shard(10, process_index=pi, process_count=3)
+        covered.extend(range(s, e))
+    assert sorted(covered) == list(range(10))
+
+
+def test_psnr_ssim_sanity(rng):
+    from playslot_tpu.utils.metrics import psnr, ssim
+    img = jax.random.uniform(rng, (2, 32, 32, 3))
+    assert float(jnp.mean(psnr(img, img))) > 70
+    assert float(jnp.mean(ssim(img, img))) > 0.99
+    noisy = jnp.clip(img + 0.2 * jax.random.normal(rng, img.shape), 0, 1)
+    assert float(jnp.mean(psnr(img, noisy))) < 25
+    assert float(jnp.mean(ssim(img, noisy))) < 0.99
+
+
+def test_miou_perfect_and_disjoint():
+    from playslot_tpu.utils.metrics import miou_framewise
+    seg = np.zeros((8, 8), int)
+    seg[:4] = 1
+    assert miou_framewise(seg, seg, num_pred=2, num_gt=2) == 1.0
+    other = 1 - seg
+    # hungarian matching should still align the permuted labels
+    assert miou_framewise(other, seg, num_pred=2, num_gt=2) == 1.0
+
+
+def test_ssim_matches_tensorflow():
+    """Golden cross-check against tf.image.ssim (same window/constants)."""
+    tf = pytest.importorskip("tensorflow")
+    from playslot_tpu.utils.metrics import ssim
+    rng_np = np.random.RandomState(0)
+    a = rng_np.rand(2, 64, 64, 3).astype(np.float32)
+    b = np.clip(a + 0.2 * rng_np.randn(2, 64, 64, 3).astype(np.float32), 0, 1)
+    mine = np.asarray(ssim(a, b))
+    ref = tf.image.ssim(tf.constant(a), tf.constant(b), max_val=1.0,
+                        filter_size=11, filter_sigma=1.5).numpy()
+    np.testing.assert_allclose(mine, ref, atol=1e-5)
