@@ -188,18 +188,26 @@ _GREEN = jnp.asarray(np.array(COLORS["green"], np.float32) / 255.0)
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "num_frames", "img_size",
-                                             "shape_size"))
-def generate_expert_batch(key, batch=32, num_frames=16, img_size=64,
-                          shape_size=None):
+                                             "shape_size", "policy"))
+def generate_scene_batch(key, batch=32, num_frames=16, img_size=64,
+                         shape_size=None, policy="expert"):
     """
-    Goal-directed demos matching data/gridshapes.py::GridShapesExpertDemos
-    and data/simulation.py::GridShapesSim, generated on device.
+    The agent/target goal-reaching scene (red ball agent, static green square
+    target), generated on device.
+
+    policy="expert": greedy goal-directed moves (behavior-cloning demos,
+        matching data/gridshapes.py::GridShapesExpertDemos and GridShapesSim).
+    policy="random": random grid moves — the EXPLORATION distribution used to
+        train SAVi + PlaySlot so that transitions are stochastic and the
+        latent actions must carry the move information (mirrors the
+        reference's random-exploration BlockPush vs Expert_BlockPush split).
+
     Returns videos (B,T,R,R,3), actions (B,T,2) continuous in [-1,1],
     masks (B,T,R,R) with agent=1 target=2.
     """
     B, T, R = batch, num_frames, img_size
     sz = shape_size if shape_size is not None else max(R // 5, 3)
-    k_a, k_t = jax.random.split(key)
+    k_a, k_t, k_p = jax.random.split(key, 3)
     agent = jax.random.randint(k_a, (B, 2), 0, R - sz).astype(jnp.int32)
     target = jax.random.randint(k_t, (B, 2), 0, R - sz).astype(jnp.int32)
 
@@ -222,18 +230,30 @@ def generate_expert_batch(key, batch=32, num_frames=16, img_size=64,
         seg = jnp.where(amask, 1, seg)
         return frame, seg
 
-    def step(agent, _):
-        frame, seg = render(agent)
+    def expert_move(agent, _):
         dist = target - agent
         use_y = jnp.abs(dist[:, 0]) >= jnp.abs(dist[:, 1])
         step_y = jnp.clip(dist[:, 0], -SPEED, SPEED) * use_y
         step_x = jnp.clip(dist[:, 1], -SPEED, SPEED) * (~use_y)
-        move = jnp.stack([step_y, step_x], axis=-1).astype(jnp.int32)
+        return jnp.stack([step_y, step_x], axis=-1).astype(jnp.int32)
+
+    def random_move(agent, k):
+        r = jax.random.uniform(k, (B,))
+        sy = jnp.where(r < 0.2, SPEED, 0) + jnp.where((r >= 0.2) & (r < 0.4),
+                                                      -SPEED, 0)
+        sx = jnp.where((r >= 0.4) & (r < 0.6), SPEED, 0) \
+            + jnp.where((r >= 0.6) & (r < 0.8), -SPEED, 0)
+        return jnp.stack([sy, sx], axis=-1).astype(jnp.int32)
+
+    def step(agent, k):
+        frame, seg = render(agent)
+        move = expert_move(agent, k) if policy == "expert" else random_move(agent, k)
         action = move.astype(jnp.float32) / SPEED
         nxt = jnp.clip(agent + move, 0, R - sz)
         return nxt, (frame, seg, action)
 
-    _, (frames, segs, acts) = jax.lax.scan(step, agent, None, length=T)
+    keys = jax.random.split(k_p, T)
+    _, (frames, segs, acts) = jax.lax.scan(step, agent, keys)
     return {
         "videos": jnp.moveaxis(frames, 0, 1),
         "masks": jnp.moveaxis(segs, 0, 1),
@@ -241,8 +261,14 @@ def generate_expert_batch(key, batch=32, num_frames=16, img_size=64,
     }
 
 
+def generate_expert_batch(key, **kw):
+    return generate_scene_batch(key, policy="expert", **kw)
+
+
 class GridShapesExpertOnDevice(GridShapesOnDevice):
-    """Device-resident goal-directed expert demos (behavior stage)."""
+    """Device-resident goal-reaching scene (expert or random policy)."""
+
+    POLICY = "expert"
 
     def __init__(self, split="train", num_frames=16, img_size=64,
                  shape_size=None, seed=13, length=None, num_expert_demos=-1,
@@ -258,9 +284,15 @@ class GridShapesExpertOnDevice(GridShapesOnDevice):
         key = jax.random.fold_in(self.base_key,
                                  0 if self.split != "train" else epoch)
         for i in range(n_batches):
-            out = generate_expert_batch(
+            out = generate_scene_batch(
                 jax.random.fold_in(key, i), batch=batch_size,
                 num_frames=self.num_frames, img_size=self.img_size,
-                shape_size=self.shape_size)
+                shape_size=self.shape_size, policy=self.POLICY)
             yield out["videos"], out["videos"], {
                 "actions": out["actions"], "masks": out["masks"]}
+
+
+class GridShapesSceneRandomOnDevice(GridShapesExpertOnDevice):
+    """Random-exploration distribution of the goal-reaching scene."""
+
+    POLICY = "random"

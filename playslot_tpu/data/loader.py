@@ -39,6 +39,9 @@ DATASETS = {
     "GridShapesOnDevice_ExpertDemos": lambda **kw: __import__(
         "playslot_tpu.data.gridshapes_jax", fromlist=["x"]
     ).GridShapesExpertOnDevice(**kw),
+    "GridShapesOnDevice_SceneRandom": lambda **kw: __import__(
+        "playslot_tpu.data.gridshapes_jax", fromlist=["x"]
+    ).GridShapesSceneRandomOnDevice(**kw),
     "BlockPush": lambda **kw: BlockPush(**kw),
     "BlockPush_ExpertDemos": lambda **kw: BlockPushExpertDemos(**kw),
     "ButtonPress": lambda **kw: ButtonPress(**kw),

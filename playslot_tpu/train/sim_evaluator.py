@@ -31,13 +31,17 @@ from playslot_tpu.utils.logger import print_
 class SimulationEvaluator:
     def __init__(self, exp_path, savi_params, pred_variables, policy_params,
                  decoder_params, num_sims=10, max_num_steps=20, seed=1000,
-                 sim_name=None, oracle=False):
+                 sim_name=None, oracle=False, ground_with_obs=False):
+        # ground_with_obs: re-encode each observed sim frame instead of
+        # rolling latent imagination (extension beyond the reference's pure
+        # open-loop eval, 11_evaluate_behavior:150-187)
         self.exp_path = exp_path
         self.exp_params = Config.load(exp_path)
         self.num_sims = num_sims
         self.max_num_steps = max_num_steps
         self.seed = seed
         self.oracle = oracle
+        self.ground_with_obs = ground_with_obs
 
         mp = self.exp_params["model"]["model_params"]
         self.num_slots, self.slot_dim = mp["num_slots"], mp["slot_dim"]
@@ -121,7 +125,10 @@ class SimulationEvaluator:
         self._control_step = control_step
 
     # ----------------------------------------------------------------- loop
-    def evaluate(self):
+    def evaluate(self, save_visualizations=0):
+        """save_visualizations: save side-by-side sim/imagination GIFs for
+        the first N episodes (reference saves the same reps,
+        11_evaluate_behavior:192-198)."""
         successes, episodes = [], []
         img_size = self.exp_params["dataset"].get("img_size", (64, 64))
         if isinstance(img_size, int):
@@ -134,6 +141,8 @@ class SimulationEvaluator:
             window = [slots]
             done, succ = False, False
             steps = 0
+            sim_frames = [img]
+            all_slots = [slots]
             while not done and steps < self.max_num_steps:
                 w = jnp.asarray(np.stack(window, axis=1))  # (1, L, S, D)
                 if self.oracle:
@@ -144,14 +153,18 @@ class SimulationEvaluator:
                     action = np.asarray(action)
                     next_slots = np.asarray(next_slots)
                 img, done = sim.update(action)
-                if self.oracle:
+                if self.oracle or self.ground_with_obs:
                     next_slots = np.asarray(self._encode_first(jnp.asarray(img)))
                 window.append(next_slots)
+                all_slots.append(next_slots)
                 if len(window) > self.context_length:
                     window = window[-self.context_length:]
                 succ = sim.success()
                 steps += 1
+                sim_frames.append(img)
             sim.close()
+            if ep < save_visualizations:
+                self._save_episode_gif(ep, sim_frames, all_slots, succ)
             successes.append(bool(succ))
             episodes.append({"episode": ep, "success": bool(succ), "steps": steps})
             print_(f"  episode {ep}: success={succ} steps={steps}")
@@ -168,3 +181,23 @@ class SimulationEvaluator:
             json.dump(results, f, indent=4)
         print_(f"Success rate: {results['success_rate']:.2f}")
         return results
+
+
+    def _save_episode_gif(self, ep, sim_frames, window, succ):
+        """Side-by-side GIF: simulator frames | decoded imagined slots."""
+        from playslot_tpu.utils.visualizations import make_gif
+        import os as _os
+        try:
+            slots_seq = jnp.asarray(np.concatenate(window, axis=0))[:, None]
+            decoded, _, _ = self.savi.apply(
+                {"params": self.savi_params["params"]}, slots_seq[:, 0],
+                method=lambda m, s: m.decode_fast(s))
+            decoded = np.clip(np.asarray(decoded), 0, 1)
+            T = min(len(sim_frames), decoded.shape[0])
+            side = np.concatenate(
+                [np.stack(sim_frames[:T]), decoded[:T]], axis=2)
+            out = _os.path.join(self.exp_path, "plots",
+                                f"sim_episode_{ep}_{'ok' if succ else 'fail'}.gif")
+            make_gif(side, out, fps=4)
+        except Exception as e:
+            print_(f"episode gif failed: {e}")

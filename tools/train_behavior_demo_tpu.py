@@ -26,8 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 from playslot_tpu.config import Config, DEFAULTS
 
 EXP = os.environ.get("PLAYSLOT_BEH_EXP", "experiments/GridShapesBehavior")
-EPOCHS = int(os.environ.get("PLAYSLOT_BEH_EPOCHS", "4"))
-ITERS = int(os.environ.get("PLAYSLOT_BEH_ITERS", "250"))
+EPOCHS = int(os.environ.get("PLAYSLOT_BEH_EPOCHS", "10"))
+ITERS = int(os.environ.get("PLAYSLOT_BEH_ITERS", "400"))
 NUM_SIMS = int(os.environ.get("PLAYSLOT_BEH_SIMS", "20"))
 
 SAVI_CFG = {
@@ -71,8 +71,11 @@ def main():
     os.makedirs(EXP, exist_ok=True)
     cfg = Config(exp_path=EXP, **copy.deepcopy(DEFAULTS))
     cfg["model"] = {"model_name": "SAVi", "model_params": copy.deepcopy(SAVI_CFG)}
+    # stages 1-2 on the RANDOM-exploration distribution (transitions must be
+    # stochastic so the latent actions carry information; mirrors the
+    # reference's random-exploration pretraining vs expert-demo distillation)
     cfg["dataset"].update({
-        "dataset_name": "GridShapesOnDevice_ExpertDemos", "num_frames": 8,
+        "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
         "img_size": 64, "length": ITERS * 16})
     cfg["training"].update({
         "num_epochs": EPOCHS, "batch_size": 16, "train_iters_per_epoch": ITERS,
@@ -115,6 +118,11 @@ def main():
     ptr.setup_predictor()
     ptr.training_loop()
 
+    import numpy as np
+    usage = np.asarray(
+        ptr.state.vq["latent_action"]["quantizer"]["usage_bins"])
+    log(f"codebook usage: {np.round(usage, 3).tolist()}")
+
     # stage 3: behavior cloning from the expert demos
     beh_path = os.path.join(pred_path, "behaviors", "Policy")
     os.makedirs(beh_path, exist_ok=True)
@@ -134,6 +142,8 @@ def main():
     from playslot_tpu.train.behavior_trainer import BehaviorTrainer
     log("stage 3: behavior cloning...")
     btr = BehaviorTrainer(beh_path)
+    # behavior stage trains on EXPERT demos (reference expert-policy swap)
+    btr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
     btr.load_data()
     btr.load_models(savi_params=tr.state.params,
                     predictor_variables={"params": ptr.state.params,
@@ -150,11 +160,19 @@ def main():
         btr.state.params["policy"], btr.state.params["decoder"],
         num_sims=NUM_SIMS, max_num_steps=40, sim_name="GridShapes")
     sim_res = ev.evaluate()
+    evg = SimulationEvaluator(
+        beh_path, {"params": tr.state.params},
+        {"params": ptr.state.params, "vq": ptr.state.vq},
+        btr.state.params["policy"], btr.state.params["decoder"],
+        num_sims=NUM_SIMS, max_num_steps=40, sim_name="GridShapes",
+        ground_with_obs=True)
+    sim_res_grounded = evg.evaluate()
 
     summary = {
         "savi_psnr": savi_res["psnr"]["mean"],
         "savi_miou": savi_res.get("miou", {}).get("mean"),
-        "success_rate": sim_res["success_rate"],
+        "success_rate_imagination": sim_res["success_rate"],
+        "success_rate_grounded": sim_res_grounded["success_rate"],
         "num_sims": NUM_SIMS,
         "device": str(jax.devices()[0]),
     }
