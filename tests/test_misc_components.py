@@ -112,3 +112,46 @@ def test_ssim_matches_tensorflow():
     ref = tf.image.ssim(tf.constant(a), tf.constant(b), max_val=1.0,
                         filter_size=11, filter_sigma=1.5).numpy()
     np.testing.assert_allclose(mine, ref, atol=1e-5)
+
+
+def test_native_frame_loader(tmp_path):
+    """Native libpng batch loader matches PIL decode (no-resize is exact)."""
+    from playslot_tpu.data import native_loader
+    if not native_loader.available():
+        pytest.skip("native toolchain/libpng unavailable")
+    from PIL import Image
+    rng_np = np.random.RandomState(0)
+    paths = []
+    imgs = []
+    for i in range(6):
+        arr = (rng_np.rand(32, 32, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / f"{i}.png")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+        imgs.append(arr.astype(np.float32) / 255.0)
+    out = native_loader.load_frames(paths, 32, 32)
+    np.testing.assert_allclose(out, np.stack(imgs), atol=1e-6)
+    # resize path: sane range + shape
+    out2 = native_loader.load_frames(paths, 16, 16)
+    assert out2.shape == (6, 16, 16, 3)
+    assert 0 <= out2.min() and out2.max() <= 1
+
+
+def test_episode_dataset_with_native_loader(tmp_path):
+    """EpisodeFrameDataset end-to-end over a synthetic PNG episode tree."""
+    from PIL import Image
+    from playslot_tpu.data.episodes import BlockPush
+    rng_np = np.random.RandomState(1)
+    for ep in range(2):
+        d = tmp_path / "train" / str(ep)
+        os.makedirs(d)
+        for t in range(5):
+            arr = (rng_np.rand(64, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d / f"{t:02d}.png"))
+        np.save(str(d / "actions.npy"), rng_np.rand(5, 4).astype(np.float32))
+    ds = BlockPush(split="train", datapath=str(tmp_path), ep_len=5,
+                   num_frames=3, random_start=True, img_size=(64, 64))
+    assert len(ds) == 2 * 3  # 2 episodes x (5 - 3 + 1) starts
+    video, _, meta = ds[4]
+    assert video.shape == (3, 64, 64, 3)
+    assert meta["actions"].shape == (3, 4)
