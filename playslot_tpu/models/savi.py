@@ -105,9 +105,9 @@ class SAVi(nn.Module):
     def initial_slots(self, batch_size, **kwargs):
         return self.initializer_mod(batch_size=batch_size, **kwargs)
 
-    def correct(self, feats, slots, first=False):
+    def correct(self, feats, slots, first=False, train=False):
         """One slot-attention correction step. Returns (slots, attn_masks)."""
-        return self.slot_attention(feats, slots, first=first)
+        return self.slot_attention(feats, slots, first=first, train=train)
 
     def predict_next(self, slots):
         return self.transition_module(slots)
@@ -182,7 +182,8 @@ class SAVi(nn.Module):
         predicted_slots = self.initial_slots(batch_size=B, **initializer_kwargs)
         slot_history = []
         for t in range(num_imgs):
-            slots, _ = self.correct(feats[:, t], predicted_slots, first=(t == 0))
+            slots, _ = self.correct(feats[:, t], predicted_slots,
+                                    first=(t == 0), train=train)
             predicted_slots = self.predict_next(slots)
             slot_history.append(slots)
         slot_history = jnp.stack(slot_history, axis=1)  # (B, T, S, D)

@@ -27,7 +27,7 @@ class SlotAttention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, inputs, slots, first=False):
+    def __call__(self, inputs, slots, first=False, train=False):
         """
         Args:
             inputs: (B, N_locations, dim_feats) encoder features.
@@ -63,7 +63,8 @@ class SlotAttention(nn.Module):
         for _ in range(num_iters):  # static unroll: 1-3 iterations
             slots_prev = slots
             q = to_q(norm_slot(slots))
-            updates, attn = slot_attention_iteration(q, k, v, epsilon=self.epsilon)
+            updates, attn = slot_attention_iteration(
+                q, k, v, epsilon=self.epsilon, allow_pallas=not train)
             flat = lambda t: t.reshape(-1, self.dim_slots)
             slots = gru(flat(updates), flat(slots_prev)).reshape(B, -1, self.dim_slots)
             slots = slots + mlp(norm_mlp(slots))

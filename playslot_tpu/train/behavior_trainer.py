@@ -92,6 +92,7 @@ class BehaviorTrainer(BaseTrainer):
             [{"type": "action_mse", "weight": 1.0}] if oracle else
             [{"type": "latent_action_mse", "weight": 1.0},
              {"type": "action_mse", "weight": 0.01}])
+        distill_target = self.exp_params.get("behavior_distill_target", "sample")
         predictor = None if oracle else self.predictor
         pred_vars = None if oracle else self.pred_variables
         action_decoder = None if oracle else self.action_decoder
@@ -110,8 +111,17 @@ class BehaviorTrainer(BaseTrainer):
                 la_out = predictor.apply(
                     pred_vars, slots, rngs={"action": keys[1]},
                     method=lambda m, s, **kw: m.latent_action(s, **kw))
-                target_latents = jax.lax.stop_gradient(
-                    la_out["sampled_latent_action"])
+                if distill_target == "mean":
+                    # framework extension: distill the noise-free action-
+                    # direction MEAN instead of the reparameterized sample
+                    # (reference 10_learn_behavior:181 uses the sample; with
+                    # an untamed variance head the sample can be noise-
+                    # dominated and the mean is the informative signal)
+                    target_latents = jax.lax.stop_gradient(
+                        la_out["action_dist"][:, :, 0])
+                else:
+                    target_latents = jax.lax.stop_gradient(
+                        la_out["sampled_latent_action"])
                 pred_latents = policy.apply(
                     {"params": params["policy"]}, slots[:, :-1],
                     deterministic=not train)

@@ -36,10 +36,10 @@ SAVI_CFG = {
     "mlp_encoder_dim": 64, "initializer": "LearnedRandom",
     "encoder": {"encoder_name": "ConvEncoder",
                 "encoder_params": {"num_channels": [32, 32, 32], "kernel_size": 5,
-                                   "resolution": [64, 64]}},
+                                   "resolution": [32, 32]}},
     "decoder": {"decoder_name": "ConvDecoder",
                 "decoder_params": {"num_channels": [32, 32, 32], "kernel_size": 5,
-                                   "resolution": [64, 64], "upsample": 1}},
+                                   "resolution": [32, 32], "upsample": 1}},
     "transition_module_params": {"model_name": "TransformerBlock",
                                  "num_heads": 4, "head_dim": 16, "mlp_size": 128},
 }
@@ -76,7 +76,7 @@ def main():
     # reference's random-exploration pretraining vs expert-demo distillation)
     cfg["dataset"].update({
         "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
-        "img_size": 64, "length": ITERS * 16})
+        "img_size": 32, "length": ITERS * 16})
     cfg["training"].update({
         "num_epochs": EPOCHS, "batch_size": 16, "train_iters_per_epoch": ITERS,
         "valid_iters_per_epoch": 8, "save_frequency": 2, "lr": 2e-4,
@@ -134,6 +134,7 @@ def main():
     bcfg["action_decoder"] = {
         "model_name": "MLPDecoder",
         "model_params": {"in_dim": 16, "out_dim": 2, "hidden_dim": [64, 64]}}
+    bcfg["behavior_distill_target"] = "mean"
     bcfg["behavior_loss"] = [
         {"type": "latent_action_mse", "weight": 1.0},
         {"type": "action_mse", "weight": 1.0}]
