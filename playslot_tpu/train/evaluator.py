@@ -94,7 +94,8 @@ class PlaySlotEvaluator:
 
     def __init__(self, exp_path, savi_params, pred_variables, num_seed=6,
                  num_preds=15, num_samples=10, post_only=False, batch_size=None,
-                 results_name="eval", metrics=DEFAULT_METRICS):
+                 results_name="eval", metrics=DEFAULT_METRICS,
+                 data_parallel_devices=None):
         self.exp_path = exp_path
         self.exp_params = Config.load(exp_path)
         self.savi_params = savi_params
@@ -135,6 +136,23 @@ class PlaySlotEvaluator:
         self._forward = forward
         self.rng = jax.random.PRNGKey(13)
 
+        # optional multi-chip eval: batch sharded over the 'data' axis,
+        # params replicated; jit propagates shardings into the forward
+        self.mesh = None
+        if data_parallel_devices and int(data_parallel_devices) > 1:
+            from playslot_tpu.parallel.mesh import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self.mesh = make_mesh(int(data_parallel_devices), model_parallel=1)
+            rep = NamedSharding(self.mesh, P())
+            self.savi_params = jax.device_put(self.savi_params, rep)
+            self.pred_variables = jax.device_put(self.pred_variables, rep)
+
+    def _shard(self, videos):
+        if self.mesh is None:
+            return videos
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(videos, NamedSharding(self.mesh, P("data")))
+
     def evaluate(self, max_batches=None, expert_policy=False):
         if expert_policy:
             name = self.exp_params["dataset"]["dataset_name"]
@@ -152,7 +170,8 @@ class PlaySlotEvaluator:
             videos = jnp.asarray(videos)
             self.rng, k1, k2 = jax.random.split(self.rng, 3)
             preds = np.asarray(self._forward(
-                self.savi_params["params"], self.pred_variables, videos, k1, k2))
+                self.savi_params["params"], self.pred_variables,
+                self._shard(videos), k1, k2))
             targets = np.clip(np.asarray(
                 videos[:, self.num_seed:self.num_seed + self.num_preds]), 0, 1)
 

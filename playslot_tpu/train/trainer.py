@@ -121,6 +121,35 @@ class BaseTrainer:
             f.write(f"{model}\n\nTotal parameters: {count}\n")
         print_(f"  --> {type(model).__name__}: {count} parameters")
 
+    def _make_mesh(self):
+        """
+        Optional data-parallel mesh: training.data_parallel_devices = N uses
+        the first N local devices (model axis reserved, size 1). Params are
+        replicated; the batch is sharded over 'data' and XLA inserts the
+        gradient all-reduce under jit.
+        """
+        n = self.exp_params.get("training", {}).get("data_parallel_devices")
+        if not n or int(n) <= 1:
+            return None
+        from playslot_tpu.parallel.mesh import make_mesh
+        return make_mesh(int(n), model_parallel=1)
+
+    def _place_for_mesh(self):
+        """Replicate train state over the mesh; later batches are sharded
+        over 'data' and jit propagates shardings into the step."""
+        if getattr(self, "mesh", None) is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        self.state = jax.device_put(self.state, rep)
+
+    def _shard_batch(self, videos):
+        if getattr(self, "mesh", None) is None:
+            return jnp.asarray(videos)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(jnp.asarray(videos),
+                              NamedSharding(self.mesh, P("data")))
+
     def _compute_dtype(self):
         """bf16 compute when training.compute_dtype == 'bfloat16' (f32 default)."""
         name = self.exp_params.get("training", {}).get("compute_dtype")
@@ -164,6 +193,8 @@ class SAViTrainer(BaseTrainer):
         self.log_architecture(self.model, params)
         if self.checkpoint:
             self.restore(self.checkpoint)
+        self.mesh = self._make_mesh()
+        self._place_for_mesh()
         self._build_steps()
 
     def _frame_shape(self):
@@ -206,9 +237,10 @@ class SAViTrainer(BaseTrainer):
     def train_step(self, batch):
         videos, _, _, _ = unwrap_batch_data(self.exp_params, batch)
         self.state, ldict = self._train_step(
-            self.state, jnp.asarray(videos), self._next_key())
+            self.state, self._shard_batch(videos), self._next_key())
         return ldict
 
     def valid_step(self, batch):
         videos, _, _, _ = unwrap_batch_data(self.exp_params, batch)
-        return self._valid_step(self.state, jnp.asarray(videos), self._next_key())
+        return self._valid_step(self.state, self._shard_batch(videos),
+                                self._next_key())

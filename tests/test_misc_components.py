@@ -155,3 +155,57 @@ def test_episode_dataset_with_native_loader(tmp_path):
     video, _, meta = ds[4]
     assert video.shape == (3, 64, 64, 3)
     assert meta["actions"].shape == (3, 4)
+
+
+def test_data_parallel_savi_training(tmp_path):
+    """SAVi trainer with training.data_parallel_devices=4 on virtual devices:
+    batch sharded over the mesh, params replicated, loss finite."""
+    from playslot_tpu.train.trainer import SAViTrainer
+    from tests.test_training import _tiny_exp
+
+    cfg = _tiny_exp(tmp_path)
+    cfg["training"]["data_parallel_devices"] = 4
+    cfg["training"]["batch_size"] = 4
+    cfg.save()
+    tr = SAViTrainer(str(tmp_path))
+    tr.load_data()
+    tr.setup_model()
+    assert tr.mesh is not None and tr.mesh.shape["data"] == 4
+    tr.training_loop()
+    import json
+    losses = json.load(open(tmp_path / "losses.json"))
+    assert np.isfinite(losses["0"]["train"]["_total"])
+
+
+def test_data_parallel_playslot_eval(tmp_path):
+    """Sharded PlaySlot eval over a 4-device virtual mesh."""
+    import copy
+    import jax as _jax
+    import jax.numpy as jnp
+    from playslot_tpu.config import Config, DEFAULTS
+    from playslot_tpu.models.factory import setup_model, setup_predictor
+    from playslot_tpu.train.evaluator import PlaySlotEvaluator
+    from tests.test_training import TINY_PRED, TINY_SAVI
+
+    cfg = Config(exp_path=str(tmp_path), **copy.deepcopy(DEFAULTS))
+    cfg["model"] = {"model_name": "SAVi", "model_params": copy.deepcopy(TINY_SAVI)}
+    cfg["predictor"] = copy.deepcopy(TINY_PRED)
+    cfg["dataset"].update({"dataset_name": "GridShapes", "num_frames": 4,
+                           "num_balls": 2, "img_size": 16, "shape_size": 5,
+                           "length": 8})
+    cfg["training"]["batch_size"] = 4
+    cfg.save()
+
+    key = _jax.random.PRNGKey(0)
+    savi = setup_model(cfg["model"])
+    sv = savi.init({"params": key, "slots": key},
+                   jnp.zeros((1, 2, 16, 16, 3)))
+    pred = setup_predictor(cfg["predictor"], savi_params=cfg["model"]["model_params"])
+    pv = pred.init({"params": key, "action": key},
+                   jnp.zeros((1, 4, 3, 16)), num_seed=2, num_preds=2)
+
+    ev = PlaySlotEvaluator(str(tmp_path), sv, pv, num_seed=2, num_preds=2,
+                           post_only=True, batch_size=4, metrics=("psnr",),
+                           data_parallel_devices=4)
+    res = ev.evaluate(max_batches=1)
+    assert np.isfinite(res["Post"]["psnr"]["mean"])
