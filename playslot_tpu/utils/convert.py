@@ -134,10 +134,15 @@ def decoder_block(sd, prefix):
 # SAVi
 # --------------------------------------------------------------------------
 
-def convert_savi(state_dict):
-    """Reference SAVi state_dict -> playslot_tpu.models.SAVi params tree."""
+def convert_savi(state_dict, return_batch_stats=False):
+    """
+    Reference SAVi state_dict -> playslot_tpu.models.SAVi params tree.
+    With return_batch_stats=True also returns the flax `batch_stats`
+    collection (BatchNorm running mean/var) for BN-configured encoders.
+    """
     sd = strip_module_prefix(state_dict)
     params = {}
+    batch_stats = {}
 
     # initializer
     if "initializer.slots_mu" in sd:
@@ -155,13 +160,19 @@ def convert_savi(state_dict):
 
     # conv encoder (torch Sequential of ConvBlocks)
     enc = {}
+    enc_stats = {}
     for j, i in enumerate(_sorted_child_indices(sd, "encoder.encoder")):
         blk = {"conv": conv(sd, f"encoder.encoder.{i}.block.0")}
         if f"encoder.encoder.{i}.block.1.running_mean" in sd:  # BatchNorm present
             bn_p = f"encoder.encoder.{i}.block.1"
             blk["bn"] = {"scale": _np(sd[f"{bn_p}.weight"]), "bias": _np(sd[f"{bn_p}.bias"])}
+            enc_stats[f"block_{j}"] = {"bn": {
+                "mean": _np(sd[f"{bn_p}.running_mean"]),
+                "var": _np(sd[f"{bn_p}.running_var"])}}
         enc[f"block_{j}"] = blk
     params["encoder"] = enc
+    if enc_stats:
+        batch_stats["encoder"] = enc_stats
 
     params["encoder_pos_embedding"] = {
         "projection": conv1x1_as_dense(sd, "encoder_pos_embedding.projection")
@@ -196,15 +207,23 @@ def convert_savi(state_dict):
     conv_blocks = [i for i in dec_idxs if f"decoder.decoder.{i}.block.0.weight" in sd]
     final = [i for i in dec_idxs
              if f"decoder.decoder.{i}.weight" in sd and i not in conv_blocks]
+    dec_stats = {}
     for j, i in enumerate(conv_blocks):
         blk = {"conv": conv(sd, f"decoder.decoder.{i}.block.0")}
         if f"decoder.decoder.{i}.block.1.running_mean" in sd:
             bn_p = f"decoder.decoder.{i}.block.1"
             blk["bn"] = {"scale": _np(sd[f"{bn_p}.weight"]), "bias": _np(sd[f"{bn_p}.bias"])}
+            dec_stats[f"block_{j}"] = {"bn": {
+                "mean": _np(sd[f"{bn_p}.running_mean"]),
+                "var": _np(sd[f"{bn_p}.running_var"])}}
         dec[f"block_{j}"] = blk
     assert len(final) == 1, f"expected exactly one final conv, got {final}"
     dec["final_conv"] = conv(sd, f"decoder.decoder.{final[0]}")
     params["decoder"] = dec
+    if dec_stats:
+        batch_stats["decoder"] = dec_stats
+    if return_batch_stats:
+        return params, batch_stats
     return params
 
 

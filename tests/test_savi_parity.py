@@ -90,3 +90,40 @@ def test_full_video_forward_parity(pair):
     # masks: (B, T, S, 1, H, W) torch -> (B, T, S, H, W, 1) ours
     masks_t = out_t["masks"].numpy().transpose(0, 1, 2, 4, 5, 3)
     np.testing.assert_allclose(np.asarray(out_j["masks"]), masks_t, atol=2e-4, rtol=1e-3)
+
+
+def test_encoder_bn_downsample_parity():
+    """Encoder variants: BatchNorm (eval stats) + max-pool downsampling."""
+    torch = import_reference()
+    from models.EncodersDecoders.encoders import SimpleConvEncoder as TorchEnc
+    from playslot_tpu.models.encoders import SimpleConvEncoder
+    from playslot_tpu.utils.convert import conv as conv_cv, _np
+
+    tm = TorchEnc(in_channels=3, hidden_dims=(8, 8, 8), kernel_size=3,
+                  batch_norm=True, downsample_encoder=True, downsample=2)
+    tm.eval()
+    # feed data through torch in train mode once so running stats move
+    with torch.no_grad():
+        tm.train()
+        tm(torch.randn(4, 3, 16, 16))
+        tm.eval()
+
+    sd = tm.state_dict()
+    params, stats = {}, {}
+    for j in range(3):
+        params[f"block_{j}"] = {
+            "conv": conv_cv(sd, f"encoder.{j}.block.0"),
+            "bn": {"scale": _np(sd[f"encoder.{j}.block.1.weight"]),
+                   "bias": _np(sd[f"encoder.{j}.block.1.bias"])}}
+        stats[f"block_{j}"] = {"bn": {
+            "mean": _np(sd[f"encoder.{j}.block.1.running_mean"]),
+            "var": _np(sd[f"encoder.{j}.block.1.running_var"])}}
+
+    jm = SimpleConvEncoder(hidden_dims=(8, 8, 8), kernel_size=3,
+                           batch_norm=True, downsample_encoder=True, downsample=2)
+    x = np.random.RandomState(0).rand(2, 16, 16, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x).permute(0, 3, 1, 2)) \
+            .permute(0, 2, 3, 1).numpy()
+    out = jm.apply({"params": params, "batch_stats": stats}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
