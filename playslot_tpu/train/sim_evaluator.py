@@ -83,6 +83,21 @@ class SimulationEvaluator:
 
         self._encode_first = encode_first
 
+        @jax.jit
+        def encode_next(img, prev_slots):
+            """Incremental SAVi recurrence on an observed frame: the slot
+            state evolves exactly as during training (transition + correct),
+            instead of re-encoding isolated first frames."""
+            def fwd(m, im, prev):
+                feats = m.encode(im[None])
+                pred = m.predict_next(prev)
+                slots, _ = m.correct(feats, pred, first=False)
+                return slots
+            return savi.apply({"params": savi_params["params"]},
+                              img, prev_slots, method=fwd)
+
+        self._encode_next = encode_next
+
         if self.oracle:
             @jax.jit
             def control_step(slots_window):
@@ -154,7 +169,8 @@ class SimulationEvaluator:
                     next_slots = np.asarray(next_slots)
                 img, done = sim.update(action)
                 if self.oracle or self.ground_with_obs:
-                    next_slots = np.asarray(self._encode_first(jnp.asarray(img)))
+                    next_slots = np.asarray(self._encode_next(
+                        jnp.asarray(img), jnp.asarray(window[-1])))
                 window.append(next_slots)
                 all_slots.append(next_slots)
                 if len(window) > self.context_length:
