@@ -57,3 +57,26 @@ def test_vq_kernel_parity():
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
     np.testing.assert_allclose(np.asarray(zq), np.asarray(zq_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_decoder_stack_kernel_parity():
+    from playslot_tpu.ops.pallas.decoder_stack_kernel import decoder_stack_pallas
+    rng = np.random.RandomState(0)
+    M, H, W, C, CO, L = 2, 16, 16, 8, 4, 2
+    x = jnp.asarray(rng.randn(M, H, W, C).astype(np.float32)) * 0.3
+    ws = jnp.asarray(rng.randn(L, 5, 5, C, C).astype(np.float32)) * 0.1
+    bs = jnp.asarray(rng.randn(L, C).astype(np.float32)) * 0.1
+    wf = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32)) * 0.1
+    bf = jnp.asarray(rng.randn(CO).astype(np.float32)) * 0.1
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = x
+    for l in range(L):
+        y = jax.lax.conv_general_dilated(y, ws[l], (1, 1), [(2, 2), (2, 2)],
+                                         dimension_numbers=dn) + bs[l]
+        y = jnp.maximum(y, 0)
+    ref = jax.lax.conv_general_dilated(y, wf, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=dn) + bf
+
+    out = decoder_stack_pallas(x, ws, bs, wf, bf, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
