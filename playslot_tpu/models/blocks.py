@@ -326,3 +326,40 @@ class ConvBlock(nn.Module):
         if self.activation:
             y = jax.nn.relu(y)
         return y
+
+
+class ResidualBlock(nn.Module):
+    """
+    ResNet-style residual conv block. Parity for reference
+    src/models/BlocksUtils/residual_block.py:19-66, which is dead code there
+    (never imported); provided for inventory completeness and available for
+    custom encoders.
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        pad = self.kernel_size // 2
+        y = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)], kernel_init=xavier_init,
+                    bias_init=zeros_init, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(1, 1), padding=[(pad, pad), (pad, pad)],
+                    kernel_init=xavier_init, bias_init=zeros_init,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn2")(y)
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            x = nn.Conv(self.out_channels, (1, 1),
+                        strides=(self.stride, self.stride),
+                        kernel_init=xavier_init, bias_init=zeros_init,
+                        dtype=self.dtype, name="proj")(x)
+        return jax.nn.relu(y + x)

@@ -5,7 +5,7 @@ Capability parity with reference src/models/EncodersDecoders/encoders.py:
 a stack of Conv(+BN)(+MaxPool)+ReLU blocks; the LAST conv has no activation.
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 

@@ -7,8 +7,6 @@ coordinate encoders.
 """
 
 import math
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

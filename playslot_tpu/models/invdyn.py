@@ -13,7 +13,7 @@ distribution is parameterized as the DIFFERENCE of consecutive frame
 embeddings (LatentAction.py:78-87).
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

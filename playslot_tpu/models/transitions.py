@@ -5,8 +5,6 @@ Capability parity with reference src/models/BlocksUtils/transition_models.py:
 Identity, or a single SAVi-style TransformerEncoderBlock.
 """
 
-from typing import Any
-
 import flax.linen as nn
 
 from playslot_tpu.models.blocks import TransformerEncoderBlock

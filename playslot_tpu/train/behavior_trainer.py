@@ -27,7 +27,6 @@ from playslot_tpu.models.factory import (
 from playslot_tpu.train.losses import compute_losses
 from playslot_tpu.train.schedulers import build_optimizer
 from playslot_tpu.train.trainer import BaseTrainer, TrainState
-from playslot_tpu.utils.logger import print_
 
 
 class BehaviorTrainer(BaseTrainer):

@@ -69,6 +69,23 @@ class LogToTensorboard(Callback):
             self.writer.add_scalar(f"train/{k}", v, epoch)
         for k, v in valid_losses.items():
             self.writer.add_scalar(f"valid/{k}", v, epoch)
+        # image logging (reference image_log_frequency behavior)
+        img_freq = max(self.trainer.exp_params["training"].get(
+            "image_log_frequency", 100) // max(
+            self.trainer.exp_params["training"].get(
+                "train_iters_per_epoch", 1000), 1), 1)
+        make_vis = getattr(self.trainer, "make_visualizations", None)
+        if make_vis is not None and epoch % img_freq == 0:
+            try:
+                import numpy as _np
+                img = make_vis()  # (H, W, 3) float [0,1]
+                if img is not None:
+                    self.writer.add_image(
+                        "visualizations/recons",
+                        _np.transpose(_np.asarray(img), (2, 0, 1)), epoch)
+            except Exception as e:
+                from playslot_tpu.utils.logger import print_
+                print_(f"image logging failed: {e}")
         self.writer.flush()
 
 

@@ -9,7 +9,6 @@ function; metric accumulation happens host-side.
 """
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp

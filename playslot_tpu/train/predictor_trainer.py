@@ -12,18 +12,15 @@ src/04_train_PlaySlot.py / 04_train_OCVP.py:
 import functools
 import os
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
 
-from playslot_tpu.config import Config
 from playslot_tpu.models.factory import setup_model, setup_predictor
 from playslot_tpu.train.losses import compute_losses
 from playslot_tpu.train.schedulers import build_optimizer
 from playslot_tpu.train.trainer import BaseTrainer, TrainState
 from playslot_tpu.utils.checkpoint import load_checkpoint
-from playslot_tpu.utils.logger import print_
 
 
 class PredictorTrainer(BaseTrainer):

@@ -234,6 +234,20 @@ class SAViTrainer(BaseTrainer):
         self._train_step = train_step
         self._valid_step = valid_step
 
+    def make_visualizations(self):
+        """GT row over reconstruction row for one validation sequence."""
+        batch = next(iter(self.valid_loader))
+        videos, _, _, _ = unwrap_batch_data(self.exp_params, batch)
+        out = self.model.apply({"params": self.state.params},
+                               jnp.asarray(videos[:1]),
+                               rngs={"slots": self._next_key()})
+        gt = np.clip(np.asarray(videos[0]), 0, 1)
+        rec = np.clip(np.asarray(out["recons_imgs"][0]), 0, 1)
+        T = min(gt.shape[0], 8)
+        return np.concatenate([
+            np.concatenate(list(gt[:T]), axis=1),
+            np.concatenate(list(rec[:T]), axis=1)], axis=0)
+
     def train_step(self, batch):
         videos, _, _, _ = unwrap_batch_data(self.exp_params, batch)
         self.state, ldict = self._train_step(

@@ -8,7 +8,6 @@ an exception-logging decorator.
 
 import functools
 import os
-import sys
 import traceback
 from datetime import datetime
 

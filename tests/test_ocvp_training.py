@@ -40,6 +40,20 @@ def _savi_params(cfg):
 
 
 @pytest.mark.parametrize("pred_cfg", [
+    {"predictor_name": "SlotLatentPredictor",
+     "predictor_params": {
+         "num_actions": 4, "action_dim": 8, "slot_dim": 16,
+         "condition_mode": "sum", "use_variability": True,
+         "autoregressive_dynamics": True,
+         "LatentAction": {"model_name": "VQSimpleMLPSlotLatentAction",
+                          "model_params": {"emb_dim": 16, "hidden_dim": 16,
+                                           "use_ema_vq": True}},
+         "DynamicsModel": {"model_name": "SlotGPTDymamicsModel",
+                           "model_params": {"embed_dim": 16, "head_dim": 8,
+                                            "num_heads": 2, "mlp_size": 16,
+                                            "num_layers": 1,
+                                            "context_length": 3,
+                                            "pos_enc_dropout": 0.0}}}},
     {"predictor_name": "VanillaTransformer",
      "predictor_params": {"token_dim": 16, "hidden_dim": 16, "num_layers": 1,
                           "n_heads": 2, "residual": True}},
@@ -76,8 +90,19 @@ def test_train_and_eval_ocvp_family(tmp_path, pred_cfg):
     losses = json.load(open(tmp_path / "losses.json"))
     assert np.isfinite(losses["0"]["train"]["_total"])
 
-    ev = OCVPEvaluator(str(tmp_path), {"params": savi_params},
-                       {"params": tr.state.params}, num_seed=2, num_preds=2,
-                       batch_size=2, metrics=("psnr",))
-    res = ev.evaluate(max_batches=1)
-    assert np.isfinite(res["psnr"]["mean"])
+    if pred_cfg["predictor_name"] in ("SlotLatentPredictor", "SlotSingleAction"):
+        from playslot_tpu.train.evaluator import PlaySlotEvaluator
+        variables = {"params": tr.state.params}
+        if tr.state.vq:
+            variables["vq"] = tr.state.vq
+        ev = PlaySlotEvaluator(str(tmp_path), {"params": savi_params}, variables,
+                               num_seed=2, num_preds=2, post_only=True,
+                               batch_size=2, metrics=("psnr",))
+        res = ev.evaluate(max_batches=1)
+        assert np.isfinite(res["Post"]["psnr"]["mean"])
+    else:
+        ev = OCVPEvaluator(str(tmp_path), {"params": savi_params},
+                           {"params": tr.state.params}, num_seed=2, num_preds=2,
+                           batch_size=2, metrics=("psnr",))
+        res = ev.evaluate(max_batches=1)
+        assert np.isfinite(res["psnr"]["mean"])
