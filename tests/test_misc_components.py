@@ -209,3 +209,50 @@ def test_data_parallel_playslot_eval(tmp_path):
                            data_parallel_devices=4)
     res = ev.evaluate(max_batches=1)
     assert np.isfinite(res["Post"]["psnr"]["mean"])
+
+
+def test_expert_demos_split_and_sketchy_indexing(tmp_path):
+    """BlockPushExpertDemos 90/10 split + Sketchy windowed indexing."""
+    from PIL import Image
+    from playslot_tpu.data.episodes import BlockPushExpertDemos
+    from playslot_tpu.data.sketchy import Sketchy
+
+    rng_np = np.random.RandomState(0)
+    # expert demos: single flat folder of 10 episodes
+    demo_root = tmp_path / "demos"
+    for ep in range(10):
+        d = demo_root / str(ep)
+        os.makedirs(d)
+        for t in range(4):
+            Image.fromarray((rng_np.rand(8, 8, 3) * 255).astype(np.uint8)) \
+                .save(str(d / f"{t}.png"))
+        np.save(str(d / "actions.npy"), rng_np.rand(4, 2).astype(np.float32))
+    train = BlockPushExpertDemos(split="train", datapath=str(demo_root),
+                                 ep_len=4, num_frames=3, img_size=(8, 8),
+                                 num_expert_demos=-1)
+    test = BlockPushExpertDemos(split="test", datapath=str(demo_root),
+                                ep_len=4, num_frames=3, img_size=(8, 8),
+                                num_expert_demos=-1)
+    assert len(train.episodes) == 9 and len(test.episodes) == 1
+    capped = BlockPushExpertDemos(split="train", datapath=str(demo_root),
+                                  ep_len=4, num_frames=3, img_size=(8, 8),
+                                  num_expert_demos=5)
+    assert len(capped.episodes) == 5
+
+    # sketchy: fl/fr camera dirs with crop_i frames
+    sk_root = tmp_path / "sketchy" / "train" / "ep0"
+    for cam in ("fl_0_full", "fr_0_full"):
+        d = sk_root / cam
+        os.makedirs(d)
+        for i in range(6):
+            Image.fromarray((rng_np.rand(8, 8, 3) * 255).astype(np.uint8)) \
+                .save(str(d / f"crop_{i}.png"))
+    np.save(str(sk_root / "actions.npy"), rng_np.rand(6, 7).astype(np.float32))
+    ds = Sketchy(split="train", datapath=str(tmp_path / "sketchy"),
+                 num_frames=3, seq_step=1, img_size=(8, 8), max_overlap=0,
+                 mode="all")
+    # per camera: floor((6-3)/3)+1 = 2 windows -> 4 samples total
+    assert len(ds) == 4
+    video, _, meta = ds[0]
+    assert video.shape == (3, 8, 8, 3)
+    assert meta["actions"].shape == (3, 7)

@@ -155,3 +155,29 @@ def test_behavior_heads_parity():
         a_t = tad(torch.from_numpy(z)).numpy()
     a_j = jad.apply(va, z)
     np.testing.assert_allclose(np.asarray(a_j), a_t, atol=2e-5, rtol=1e-4)
+
+
+def test_cross_attention_decoder_block_parity():
+    """TransformerDecoder with use_cross_attn=True (unused by shipped
+    configs but part of the reference surface, attention.py:479-565)."""
+    torch = import_reference()
+    from models.BlocksUtils.attention import TransformerDecoder as TDec
+    from playslot_tpu.models.blocks import TransformerDecoderBlock
+    from playslot_tpu.utils.convert import decoder_block
+
+    tm = TDec(embed_dim=16, head_dim=8, num_heads=2, mlp_size=32, kv_dim=12,
+              use_cross_attn=True, project_out=True)
+    tm.eval()
+    jm = TransformerDecoderBlock(embed_dim=16, head_dim=8, num_heads=2,
+                                 mlp_size=32, kv_dim=12, use_cross_attn=True,
+                                 project_out=True)
+    sd = {f"blk.{k}": v for k, v in tm.state_dict().items()}
+    variables = {"params": decoder_block(sd, "blk")}
+
+    rng_np = np.random.RandomState(7)
+    q = rng_np.randn(2, 5, 16).astype(np.float32) * 0.5
+    feats = rng_np.randn(2, 9, 12).astype(np.float32) * 0.5
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(q), feats=torch.from_numpy(feats)).numpy()
+    out = jm.apply(variables, q, feats=feats)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5, rtol=1e-4)
