@@ -167,9 +167,20 @@ class BaseTrainer:
         })
 
     def restore(self, name):
+        """
+        --checkpoint alone loads model weights only (fresh optimizer/epoch);
+        --resume_training additionally restores optimizer state and resumes
+        from the saved epoch (reference setup_model.py:246-297 semantics).
+        """
         ck = load_checkpoint(os.path.join(self.models_path, name))
-        self.state = flax.serialization.from_state_dict(self.state, ck["state"])
-        self.start_epoch = int(ck["epoch"]) + 1
+        if self.resume_training:
+            self.state = flax.serialization.from_state_dict(self.state,
+                                                            ck["state"])
+            self.start_epoch = int(ck["epoch"]) + 1
+        else:
+            restored = flax.serialization.from_state_dict(self.state, ck["state"])
+            self.state = self.state.replace(params=restored.params,
+                                            vq=restored.vq)
 
 
 class SAViTrainer(BaseTrainer):

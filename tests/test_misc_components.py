@@ -54,6 +54,14 @@ def test_trainer_save_restore_roundtrip(tmp_path):
     leaf_restored = np.asarray(jax.tree_util.tree_leaves(tr2.state.params)[0])
     np.testing.assert_allclose(leaf_before, leaf_restored)
 
+    # weights-only load: params restored, optimizer/epoch fresh
+    tr3 = SAViTrainer(str(tmp_path), checkpoint="checkpoint_epoch_final")
+    tr3.load_data()
+    tr3.setup_model()
+    assert int(tr3.state.step) == 0 and tr3.start_epoch == 0
+    np.testing.assert_allclose(
+        leaf_before, np.asarray(jax.tree_util.tree_leaves(tr3.state.params)[0]))
+
 
 def test_device_dataset_in_trainer(tmp_path):
     """GridShapesOnDevice plugs into the SAVi trainer end to end."""
