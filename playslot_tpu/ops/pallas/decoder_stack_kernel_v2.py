@@ -9,6 +9,12 @@ shipped decoders), trading VMEM copy traffic for much wider MXU feeds.
 
 Same contract as v1: all hidden layers + final conv fused per map, borders
 zero-padded in a VMEM scratch, f32 accumulation, bias+ReLU fused.
+
+Status: exact in interpret mode; at production scale (64x64x64 maps) Mosaic
+reports a 24.2 MB scoped-VMEM stack (> 16 MB) — the unrolled ky accumulation
+keeps several (H*W, k*C) temporaries live. Needs row-strip blocking
+(process ~16 rows per inner step) before it can run on-chip; v1 remains the
+runnable pallas backend and XLA the production path (docs/PERFORMANCE.md).
 """
 
 import functools
