@@ -1,0 +1,103 @@
+"""
+Decoder-stack Pallas kernel, v3: row-im2col (K = k*C) with row-strip
+blocking and ping-pong padded buffers — the VMEM-feasible version of v2.
+
+Per layer, the map is processed in strips of `strip` rows: each strip builds
+a (strip*W, k*C) im2col block per kernel row and issues one wide matmul,
+writing into the *other* padded buffer (the source buffer must stay intact
+until every strip has read its halo). Peak VMEM:
+  2 x (H+2p, W+2p, C) bf16 pads + (strip*W, k*C) cols + (strip*W, C) f32 acc
+  + weights  ~=  2.5 MB at production scale (64x64x64, strip=8).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref, o_ref, pad_a, pad_b, cols_ref,
+            *, H, W, C, CO, L, k, kf, strip):
+    p = k // 2
+    pads = [pad_a, pad_b]
+    pad_a[...] = jnp.zeros_like(pad_a)
+    pad_b[...] = jnp.zeros_like(pad_b)
+    pad_a[p:p + H, p:p + W, :] = x_ref[0]
+
+    n_strips = H // strip
+
+    def strip_out(src, w_rows, bias, taps, out_c, r0):
+        """One output strip (strip, W, out_c) in f32."""
+        off = p - taps // 2
+        acc = jnp.zeros((strip * W, out_c), jnp.float32) \
+            + bias.astype(jnp.float32)
+        for ky in range(taps):
+            for kx in range(taps):
+                cols_ref[:, :, kx * C:(kx + 1) * C] = \
+                    src[r0 + off + ky:r0 + off + ky + strip,
+                        off + kx:off + kx + W, :]
+            acc += jax.lax.dot_general(
+                cols_ref[:, :, :taps * C].reshape(strip * W, taps * C),
+                w_rows[ky],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return acc
+
+    src_idx = 0
+    for l in range(L):
+        src, dst = pads[src_idx], pads[1 - src_idx]
+        for s in range(n_strips):
+            acc = strip_out(src, w_ref[l], b_ref[l], k, C, s * strip)
+            acc = jnp.maximum(acc, 0.0)
+            dst[p + s * strip:p + (s + 1) * strip, p:p + W, :] = \
+                acc.reshape(strip, W, C).astype(dst.dtype)
+        src_idx = 1 - src_idx
+
+    src = pads[src_idx]
+    for s in range(n_strips):
+        acc = strip_out(src, wf_ref[...], bf_ref[...], kf, CO, s * strip)
+        o_ref[0, s * strip:(s + 1) * strip] = \
+            acc.reshape(strip, W, CO).astype(o_ref.dtype)
+
+
+def decoder_stack_pallas_v3(x, weights, biases, w_final, b_final,
+                            kernel_size=5, final_kernel=3, strip=8,
+                            interpret=False):
+    """Same contract as decoder_stack_pallas; `strip` must divide H."""
+    M, H, W, C = x.shape
+    L = weights.shape[0]
+    CO = w_final.shape[-1]
+    k, kf = kernel_size, final_kernel
+    p = k // 2
+    assert kf // 2 <= p and H % strip == 0
+
+    w_rows = weights.reshape(L, k, k * C, C)
+    wf_rows = w_final.reshape(kf, kf * C, CO)
+
+    kern = functools.partial(_kernel, H=H, W=W, C=C, CO=CO, L=L, k=k, kf=kf,
+                             strip=strip)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda m: (0,) * len(shape), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(M,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda m: (m, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(w_rows.shape),
+            full(biases.shape),
+            full(wf_rows.shape),
+            full(b_final.shape),
+        ],
+        out_specs=pl.BlockSpec((1, H, W, CO), lambda m: (m, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, H, W, CO), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H + 2 * p, W + 2 * p, C), x.dtype),
+            pltpu.VMEM((H + 2 * p, W + 2 * p, C), x.dtype),
+            pltpu.VMEM((strip, W, k * C), x.dtype),
+        ],
+        interpret=interpret,
+    )(x, w_rows, biases, wf_rows, b_final)

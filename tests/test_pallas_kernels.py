@@ -103,3 +103,28 @@ def test_decoder_stack_kernel_v2_parity():
                                        dimension_numbers=dn) + bf
     out = decoder_stack_pallas_v2(x, ws, bs, wf, bf, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_decoder_stack_kernel_v3_parity():
+    from playslot_tpu.ops.pallas.decoder_stack_kernel_v3 import (
+        decoder_stack_pallas_v3)
+    rng = np.random.RandomState(2)
+    M, H, W, C, CO, L = 2, 16, 16, 8, 4, 2
+    x = jnp.asarray(rng.randn(M, H, W, C).astype(np.float32)) * 0.3
+    ws = jnp.asarray(rng.randn(L, 5, 5, C, C).astype(np.float32)) * 0.1
+    bs = jnp.asarray(rng.randn(L, C).astype(np.float32)) * 0.1
+    wf = jnp.asarray(rng.randn(3, 3, C, CO).astype(np.float32)) * 0.1
+    bf = jnp.asarray(rng.randn(CO).astype(np.float32)) * 0.1
+
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = x
+    for l in range(L):
+        y = jax.lax.conv_general_dilated(y, ws[l], (1, 1), [(2, 2), (2, 2)],
+                                         dimension_numbers=dn) + bs[l]
+        y = jnp.maximum(y, 0)
+    ref = jax.lax.conv_general_dilated(y, wf, (1, 1), [(1, 1), (1, 1)],
+                                       dimension_numbers=dn) + bf
+    for strip in (4, 8):
+        out = decoder_stack_pallas_v3(x, ws, bs, wf, bf, strip=strip,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)

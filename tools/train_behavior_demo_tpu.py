@@ -147,7 +147,6 @@ def main():
     # longer sequences so the policy also observes stop-at-goal behavior
     btr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
     btr.exp_params["dataset"]["num_frames"] = 16
-    btr.exp_params["training"]["num_epochs"] = EPOCHS * 2
     btr.load_data()
     btr.load_models(savi_params=tr.state.params,
                     predictor_variables={"params": ptr.state.params,
