@@ -5,9 +5,18 @@ blocking and ping-pong padded buffers — the VMEM-feasible version of v2.
 Per layer, the map is processed in strips of `strip` rows: each strip builds
 a (strip*W, k*C) im2col block per kernel row and issues one wide matmul,
 writing into the *other* padded buffer (the source buffer must stay intact
-until every strip has read its halo). Peak VMEM:
-  2 x (H+2p, W+2p, C) bf16 pads + (strip*W, k*C) cols + (strip*W, C) f32 acc
-  + weights  ~=  2.5 MB at production scale (64x64x64, strip=8).
+until every strip has read its halo). Strips iterate via fori_loop (a fully
+unrolled body blows Mosaic's scoped-VMEM budget with unshared temporaries);
+the final conv is zero-padded to 128 output channels (a 4-lane output can
+neither tile nor reshape on TPU).
+
+Measured (v5e, 1920 maps of 64x64x64, 3 hidden + final, bf16):
+  v1 (25 small matmuls)        173 ms
+  v3 (row-im2col K=5C, strips) 164 ms  (strip in {8,16,32} equivalent)
+  XLA in-context decode         ~60 ms-equivalent (80 TF/s)
+Verdict: the VMEM copy traffic of im2col building + halo reads caps both
+pallas variants near 29 TF/s; XLA's conv emitter keeps the production path
+(docs/PERFORMANCE.md). These kernels remain validated alternative backends.
 """
 
 import functools
@@ -29,15 +38,14 @@ def _kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref, o_ref, pad_a, pad_b, cols_ref,
     n_strips = H // strip
 
     def strip_out(src, w_rows, bias, taps, out_c, r0):
-        """One output strip (strip, W, out_c) in f32."""
+        """One output strip (strip*W, out_c) in f32; r0 may be dynamic."""
         off = p - taps // 2
         acc = jnp.zeros((strip * W, out_c), jnp.float32) \
             + bias.astype(jnp.float32)
         for ky in range(taps):
             for kx in range(taps):
                 cols_ref[:, :, kx * C:(kx + 1) * C] = \
-                    src[r0 + off + ky:r0 + off + ky + strip,
-                        off + kx:off + kx + W, :]
+                    src[pl.ds(r0 + off + ky, strip), off + kx:off + kx + W, :]
             acc += jax.lax.dot_general(
                 cols_ref[:, :, :taps * C].reshape(strip * W, taps * C),
                 w_rows[ky],
@@ -45,21 +53,34 @@ def _kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref, o_ref, pad_a, pad_b, cols_ref,
                 preferred_element_type=jnp.float32)
         return acc
 
+    # strips iterate via fori_loop so Mosaic compiles ONE strip body per
+    # layer (the fully unrolled version blows the scoped-VMEM budget with
+    # unshared temporaries)
     src_idx = 0
     for l in range(L):
         src, dst = pads[src_idx], pads[1 - src_idx]
-        for s in range(n_strips):
-            acc = strip_out(src, w_ref[l], b_ref[l], k, C, s * strip)
+
+        def body(si, _, src=src, dst=dst, l=l):
+            acc = strip_out(src, w_ref[l], b_ref[l], k, C, si * strip)
             acc = jnp.maximum(acc, 0.0)
-            dst[p + s * strip:p + (s + 1) * strip, p:p + W, :] = \
+            dst[pl.ds(p + si * strip, strip), p:p + W, :] = \
                 acc.reshape(strip, W, C).astype(dst.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, n_strips, body, 0)
         src_idx = 1 - src_idx
 
     src = pads[src_idx]
-    for s in range(n_strips):
-        acc = strip_out(src, wf_ref[...], bf_ref[...], kf, CO, s * strip)
-        o_ref[0, s * strip:(s + 1) * strip] = \
-            acc.reshape(strip, W, CO).astype(o_ref.dtype)
+
+    def body_final(si, _):
+        # final weights are zero-padded to 128 output channels: a CO=4 lane
+        # dim can neither tile nor reshape on TPU (Mosaic "unsupported shape
+        # cast"), and untiled outputs get pinned whole in VMEM
+        acc = strip_out(src, wf_ref[...], bf_ref[...], kf, 128, si * strip)
+        o_ref[0, pl.ds(si * strip * W, strip * W), :] = acc.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_strips, body_final, 0)
 
 
 def decoder_stack_pallas_v3(x, weights, biases, w_final, b_final,
@@ -74,7 +95,9 @@ def decoder_stack_pallas_v3(x, weights, biases, w_final, b_final,
     assert kf // 2 <= p and H % strip == 0
 
     w_rows = weights.reshape(L, k, k * C, C)
-    wf_rows = w_final.reshape(kf, kf * C, CO)
+    wf_rows = jnp.zeros((kf, kf * C, 128), w_final.dtype)
+    wf_rows = wf_rows.at[:, :, :CO].set(w_final.reshape(kf, kf * C, CO))
+    bf_pad = jnp.zeros((128,), b_final.dtype).at[:CO].set(b_final)
 
     kern = functools.partial(_kernel, H=H, W=W, C=C, CO=CO, L=L, k=k, kf=kf,
                              strip=strip)
@@ -89,15 +112,15 @@ def decoder_stack_pallas_v3(x, weights, biases, w_final, b_final,
             full(w_rows.shape),
             full(biases.shape),
             full(wf_rows.shape),
-            full(b_final.shape),
+            full(bf_pad.shape),
         ],
-        out_specs=pl.BlockSpec((1, H, W, CO), lambda m: (m, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, H * W, 128), lambda m: (m, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, H, W, CO), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, H * W, 128), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((H + 2 * p, W + 2 * p, C), x.dtype),
             pltpu.VMEM((H + 2 * p, W + 2 * p, C), x.dtype),
             pltpu.VMEM((strip, W, k * C), x.dtype),
         ],
         interpret=interpret,
-    )(x, w_rows, biases, wf_rows, b_final)
+    )(x, w_rows, biases, wf_rows, bf_pad)[:, :, :CO].reshape(M, H, W, CO)
