@@ -106,3 +106,29 @@ def posterior_rollout(predictor, variables, slot_history, num_seed, num_preds,
             avars = jnp.tile(avars[:, :, None, :], (1, 1, num_slots, 1))
     return scan_rollout(predictor, variables, slot_history[:, :num_seed],
                         protos, avars, num_preds)
+
+
+def batched_prior_rollout(predictor, variables, seed_slots, num_samples,
+                          num_preds, rng):
+    """
+    All prior samples of the stochastic eval in ONE rollout: the sample axis
+    is folded into the batch (the reference loops samples in Python,
+    LatentActionPredictors.py:148-157 — identical in distribution, N x fewer
+    program launches).
+
+    Returns (B, num_samples, num_preds, S, D).
+    """
+    B, ns, S, D = seed_slots.shape
+    tiled = jnp.repeat(seed_slots, num_samples, axis=0)  # (B*N, ns, S, D)
+
+    def sample_priors(m, slots, n_preds):
+        protos, idx = m.get_random_actions(slots, n_preds)
+        avars = m.get_random_latents(slots, n_preds, src_action_idx=idx) \
+            if m.use_variability else None
+        return protos, avars
+
+    protos, avars = predictor.apply(
+        variables, tiled, num_preds, rngs={"action": rng},
+        method=lambda m, s, n: sample_priors(m, s, n))
+    preds = scan_rollout(predictor, variables, tiled, protos, avars, num_preds)
+    return preds.reshape(B, num_samples, num_preds, S, D)

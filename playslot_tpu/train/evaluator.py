@@ -120,14 +120,23 @@ class PlaySlotEvaluator:
 
         @jax.jit
         def forward(savi_p, pred_v, videos, k_slots, k_action):
+            from playslot_tpu.engine.rollout import (
+                batched_prior_rollout, posterior_rollout)
             out = savi.apply({"params": savi_p}, videos, decode=False,
                              rngs={"slots": k_slots})
             slots = out["slot_history"]
-            preds = predictor.apply(
-                pred_v, slots, num_samples=nsamp, num_seed=ns, num_preds=npred,
-                use_posterior=True, rngs={"action": k_action},
-                method=lambda m, *a, **k: m.forward_multiple_samples(*a, **k))
-            # preds: (B, nsamp, npred, S, D) -> decode all at once
+            k_post, k_prior = jax.random.split(k_action)
+            post = posterior_rollout(predictor, pred_v, slots, ns, npred,
+                                     rng=k_post)  # (B, npred, S, D)
+            parts = [post[:, None]]
+            if nsamp > 1:
+                # all priors batched into one rollout (sample axis folded
+                # into batch; the reference loops them in Python)
+                priors = batched_prior_rollout(
+                    predictor, pred_v, slots[:, :ns], nsamp - 1, npred,
+                    rng=k_prior)
+                parts.append(priors)
+            preds = jnp.concatenate(parts, axis=1)  # (B, nsamp, npred, S, D)
             pred_imgs, _, _ = savi.apply(
                 {"params": savi_p}, preds, method=lambda m, s: m.decode_fast(s))
             return jnp.clip(pred_imgs, 0, 1)  # (B, nsamp, npred, H, W, C)

@@ -69,3 +69,20 @@ def test_posterior_rollout_matches_forward_multiple_samples(setup):
                              rng=jax.random.PRNGKey(9), noise=noise)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref[:, 0]),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_batched_prior_rollout(setup):
+    from playslot_tpu.engine.rollout import batched_prior_rollout
+    pred, variables, slots = setup
+    seed = slots[:, :3]
+    preds = batched_prior_rollout(pred, variables, seed, num_samples=4,
+                                  num_preds=5, rng=jax.random.PRNGKey(3))
+    assert preds.shape == (2, 4, 5, S, D)
+    assert np.all(np.isfinite(np.asarray(preds)))
+    # independent action draws -> samples differ
+    a = np.asarray(preds)
+    assert not np.allclose(a[:, 0], a[:, 1])
+    # deterministic given the key
+    preds2 = batched_prior_rollout(pred, variables, seed, num_samples=4,
+                                   num_preds=5, rng=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(a, np.asarray(preds2), atol=1e-6)
