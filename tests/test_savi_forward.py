@@ -59,3 +59,20 @@ def test_savi_jit_and_grad(rng):
     flat = jax.tree_util.tree_leaves(g)
     assert all(jnp.all(jnp.isfinite(l)) for l in flat)
     assert any(jnp.any(l != 0) for l in flat)
+
+
+def test_attention_mask_introspection(rng):
+    """Reference get_attention_masks parity: slot-competition masks are
+    retrievable via the 'intermediates' collection (sow)."""
+    model = SAVi(**MODEL_KW)
+    x = jax.random.uniform(rng, (2, 2, 16, 16, 3))
+    params = model.init({"params": rng, "slots": rng}, x)
+    out, state = model.apply(params, x, decode=False, rngs={"slots": rng},
+                             mutable=["intermediates"])
+    masks = state["intermediates"]["slot_attn"]["attn_masks"]
+    # one sow per frame; each (B, S, N_locations), normalized over slots
+    assert len(masks) == 2
+    m = masks[0]
+    assert m.shape == (2, 4, 16 * 16)
+    sums = m.sum(axis=1)
+    assert jnp.allclose(sums, jnp.ones_like(sums), atol=1e-4)
