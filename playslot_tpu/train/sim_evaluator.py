@@ -31,7 +31,8 @@ from playslot_tpu.utils.logger import print_
 class SimulationEvaluator:
     def __init__(self, exp_path, savi_params, pred_variables, policy_params,
                  decoder_params, num_sims=10, max_num_steps=20, seed=1000,
-                 sim_name=None, oracle=False, ground_with_obs=False):
+                 sim_name=None, oracle=False, ground_with_obs=False,
+                 action_scale=1.0):
         # ground_with_obs: re-encode each observed sim frame instead of
         # rolling latent imagination (extension beyond the reference's pure
         # open-loop eval, 11_evaluate_behavior:150-187)
@@ -42,6 +43,9 @@ class SimulationEvaluator:
         self.seed = seed
         self.oracle = oracle
         self.ground_with_obs = ground_with_obs
+        # diagnostic controller gain on decoded actions (1.0 = reference
+        # behavior); MSE-trained decoders systematically shrink magnitudes
+        self.action_scale = action_scale
 
         mp = self.exp_params["model"]["model_params"]
         self.num_slots, self.slot_dim = mp["num_slots"], mp["slot_dim"]
@@ -165,7 +169,7 @@ class SimulationEvaluator:
                     next_slots = slots  # oracle re-encodes each frame
                 else:
                     action, next_slots = self._control_step(w)
-                    action = np.asarray(action)
+                    action = np.asarray(action) * self.action_scale
                     next_slots = np.asarray(next_slots)
                 img, done = sim.update(action)
                 if self.oracle or self.ground_with_obs:

@@ -31,8 +31,8 @@ ITERS = int(os.environ.get("PLAYSLOT_BEH_ITERS", "400"))
 NUM_SIMS = int(os.environ.get("PLAYSLOT_BEH_SIMS", "20"))
 
 SAVI_CFG = {
-    "num_slots": 3, "slot_dim": 64, "num_iterations_first": 2,
-    "num_iterations": 1, "in_channels": 3, "mlp_hidden": 128,
+    "num_slots": 3, "slot_dim": 64, "num_iterations_first": 3,
+    "num_iterations": 2, "in_channels": 3, "mlp_hidden": 128,
     "mlp_encoder_dim": 64, "initializer": "LearnedRandom",
     "encoder": {"encoder_name": "ConvEncoder",
                 "encoder_params": {"num_channels": [32, 32, 32], "kernel_size": 5,
