@@ -33,7 +33,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 NUM_SEED, NUM_PREDS = 6, 15
-BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "96"))
+BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "128"))
 COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
     "PLAYSLOT_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 

@@ -94,6 +94,8 @@ class PredictorTrainer(BaseTrainer):
                               fname="architecture_predictor.txt")
         if self.checkpoint:
             self.restore(self.checkpoint)
+        self.mesh = self._make_mesh()
+        self._place_for_mesh()
         self._build_steps()
 
     # -------------------------------------------------------------- steps
@@ -181,10 +183,10 @@ class PredictorTrainer(BaseTrainer):
         videos, _, _, others = unwrap_batch_data(self.exp_params, batch)
         actions = others.get("actions")
         if actions is not None and actions.size:
-            actions = jnp.asarray(actions, jnp.float32)
+            actions = self._shard_batch(jnp.asarray(actions, jnp.float32))
         else:
             actions = None
-        return jnp.asarray(videos), actions
+        return self._shard_batch(videos), actions
 
     def train_step(self, batch):
         videos, actions = self._unpack(batch)

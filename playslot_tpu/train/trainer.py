@@ -123,25 +123,47 @@ class BaseTrainer:
 
     def _make_mesh(self):
         """
-        Optional data-parallel mesh: training.data_parallel_devices = N uses
-        the first N local devices (model axis reserved, size 1). Params are
-        replicated; the batch is sharded over 'data' and XLA inserts the
-        gradient all-reduce under jit.
+        Optional (data, model) mesh:
+          * training.data_parallel_devices = D shards the batch over 'data'
+            (XLA inserts the gradient all-reduce under jit),
+          * training.model_parallel_devices = M tensor-shards the transformer
+            MLP/attention kernels over 'model' (rules in parallel/mesh.py).
+        Uses the first D*M local devices.
         """
-        n = self.exp_params.get("training", {}).get("data_parallel_devices")
-        if not n or int(n) <= 1:
+        tcfg = self.exp_params.get("training", {})
+        dp = int(tcfg.get("data_parallel_devices") or 1)
+        tp = int(tcfg.get("model_parallel_devices") or 1)
+        if dp * tp <= 1:
             return None
         from playslot_tpu.parallel.mesh import make_mesh
-        return make_mesh(int(n), model_parallel=1)
+        return make_mesh(dp * tp, model_parallel=tp)
 
     def _place_for_mesh(self):
-        """Replicate train state over the mesh; later batches are sharded
-        over 'data' and jit propagates shardings into the step."""
+        """Place the train state onto the mesh: params (and the matching
+        optimizer moments) follow the tensor-parallel sharding rules, the
+        rest is replicated; later batches are sharded over 'data' and jit
+        propagates shardings into the step."""
         if getattr(self, "mesh", None) is None:
             return
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from playslot_tpu.parallel.mesh import param_shardings
         rep = NamedSharding(self.mesh, P())
-        self.state = jax.device_put(self.state, rep)
+        if self.mesh.shape.get("model", 1) > 1:
+            # param_shardings keys on path suffixes, so it applies verbatim
+            # to the optimizer state (adam mu/nu mirror the param tree;
+            # scalars fall through to replicated)
+            self.state = TrainState(
+                step=jax.device_put(self.state.step, rep),
+                params=jax.device_put(
+                    self.state.params,
+                    param_shardings(self.state.params, self.mesh)),
+                vq=jax.device_put(self.state.vq, jax.tree_util.tree_map(
+                    lambda _: rep, self.state.vq)),
+                opt_state=jax.device_put(
+                    self.state.opt_state,
+                    param_shardings(self.state.opt_state, self.mesh)))
+        else:
+            self.state = jax.device_put(self.state, rep)
 
     def _shard_batch(self, videos):
         if getattr(self, "mesh", None) is None:
