@@ -86,6 +86,81 @@ def scan_rollout(predictor, variables, seed_slots, action_protos, action_vars,
     return jnp.stack(preds, axis=1)
 
 
+def init_kv_caches(predictor, batch, num_slots, dtype=jnp.float32):
+    """Per-layer KV buffers for kv_cached_rollout, sized to the full context
+    window (context_length * num_slots tokens)."""
+    p = predictor.DynamicsModel["model_params"]
+    L = p.get("context_length", 8)
+    num_layers = p.get("num_layers", 4)
+    num_heads = p.get("num_heads", 4)
+    head_dim = p.get("head_dim", 32)
+    Tmax = L * num_slots
+    return [
+        {"k": jnp.zeros((batch, Tmax, num_heads, head_dim), dtype),
+         "v": jnp.zeros((batch, Tmax, num_heads, head_dim), dtype),
+         "len": jnp.zeros((), jnp.int32)}
+        for _ in range(num_layers)
+    ]
+
+
+def kv_cached_rollout(predictor, variables, seed_slots, action_protos,
+                      action_vars, num_preds, dtype=jnp.float32):
+    """
+    KV-cached AR rollout — incremental decode instead of windowed recompute.
+
+    Exact (modulo float reassociation) vs scan_rollout while the window is
+    GROWING, i.e. num_seed + num_preds <= context_length: token positions
+    never shift, so cached K/V equal a full recompute's. Once the window
+    slides the reference semantics re-base positions every step and a cache
+    is no longer equivalent — this driver refuses that regime.
+
+    Built for the round-1 VERDICT "KV-cache experiment at long context":
+    at the production shapes (64-token windows) windowed recompute measured
+    faster on the MXU (docs/PERFORMANCE.md lesson 3); this path exists to
+    measure the crossover at context_length 16/32 (128-256 tokens).
+    """
+    L = predictor.DynamicsModel["model_params"].get("context_length", 8)
+    B, num_seed, S, D = seed_slots.shape
+    if num_seed + num_preds > L:
+        raise ValueError(
+            f"kv_cached_rollout requires num_seed+num_preds <= context_length "
+            f"({num_seed}+{num_preds} > {L}): beyond that the reference's "
+            f"sliding window re-bases positions and a KV cache is not "
+            f"equivalent — use scan_rollout")
+    use_var = action_vars is not None
+    caches = init_kv_caches(predictor, B, S, dtype=dtype)
+
+    def prime(m, s, a, v, c):
+        return m.dynamics_model.forward_cached(s, a, v, caches=c, offset=0)
+
+    pred, caches = predictor.apply(
+        variables, seed_slots, action_protos[:, :num_seed],
+        action_vars[:, :num_seed] if use_var else None, caches, method=prime)
+    cur = pred[:, -1:]  # (B, 1, S, D)
+
+    if num_preds == 1:
+        return cur
+
+    def step(m, s, a, v, c, off):
+        return m.dynamics_model.forward_cached(s, a, v, caches=c, offset=off)
+
+    def body(carry, i):
+        caches, cur = carry
+        idx = num_seed + i
+        a = jax.lax.dynamic_slice_in_dim(action_protos, idx, 1, axis=1)
+        v = jax.lax.dynamic_slice_in_dim(action_vars, idx, 1, axis=1) \
+            if use_var else None
+        pred, caches = predictor.apply(variables, cur, a, v, caches, idx,
+                                       method=step)
+        nxt = pred[:, -1:]
+        return (caches, nxt), nxt[:, 0]
+
+    (_, _), scan_preds = jax.lax.scan(body, (caches, cur),
+                                      jnp.arange(num_preds - 1))
+    rest = jnp.moveaxis(scan_preds, 0, 1)  # (B, num_preds-1, S, D)
+    return jnp.concatenate([cur, rest], axis=1)
+
+
 def posterior_rollout(predictor, variables, slot_history, num_seed, num_preds,
                       rng, noise=None):
     """

@@ -87,7 +87,8 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x, kv=None, mask=None, deterministic=True):
+    def __call__(self, x, kv=None, mask=None, deterministic=True,
+                 block_causal_slots=None, cache=None):
         head_dim = self.head_dim if self.head_dim is not None else self.emb_dim
         inner = self.num_heads * head_dim
         needs_proj = (inner != self.emb_dim) or self.project_out
@@ -105,6 +106,67 @@ class MultiHeadAttention(nn.Module):
         q = q.reshape(B, Lq, self.num_heads, head_dim)
         k = k.reshape(B, Lk, self.num_heads, head_dim)
         v = v.reshape(B, Lk, self.num_heads, head_dim)
+
+        if cache is not None:
+            # KV-cached incremental decode (engine/rollout.kv_cached_rollout):
+            # append this call's keys/values into the fixed-size buffers at
+            # position `len`, then attend the new queries over the whole
+            # buffer under the frame-staircase rule. Valid while positions
+            # don't slide (window growing phase) — see engine/rollout.py.
+            assert self.self_attn and block_causal_slots is not None
+            S = int(block_causal_slots)
+            cache_len = cache["len"]  # traced int32, multiple of S
+            k_buf = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
+                                                 (0, cache_len, 0, 0))
+            v_buf = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
+                                                 (0, cache_len, 0, 0))
+            Tmax = k_buf.shape[1]
+            scale = head_dim ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k_buf,
+                                preferred_element_type=jnp.float32) * scale
+            frame_j = jax.lax.broadcasted_iota(jnp.int32, (Lq, Tmax), 1) // S
+            frame_i = (cache_len
+                       + jax.lax.broadcasted_iota(jnp.int32, (Lq, Tmax), 0)) // S
+            allowed = frame_j <= frame_i  # cached frames + own frame
+            logits = jnp.where(allowed[None, None], logits, jnp.float32(-1e9))
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v_buf.dtype), v_buf,
+                             preferred_element_type=jnp.float32).astype(v.dtype)
+            out = out.reshape(B, Lq, inner)
+            if needs_proj:
+                out = nn.Dense(self.emb_dim, kernel_init=xavier_init,
+                               bias_init=zeros_init, dtype=self.dtype,
+                               name="out_proj")(out)
+            new_cache = {"k": k_buf, "v": v_buf, "len": cache_len + Lq}
+            return out, new_cache
+
+        if block_causal_slots is not None and self.self_attn:
+            # staircase-mask self-attention (SlotGPT): on TPU, dispatch to the
+            # fused Pallas kernel (mask computed inline from iota, QK^T ->
+            # softmax -> AV in one VMEM pass; custom_vjp so training works)
+            from playslot_tpu.ops.dispatch import pallas_interpret, use_pallas
+            if use_pallas("block_causal"):
+                from playslot_tpu.ops.pallas.block_causal_attention_kernel \
+                    import block_causal_attention_pallas
+                qh = q.transpose(0, 2, 1, 3).reshape(B * self.num_heads, Lq,
+                                                     head_dim)
+                kh = k.transpose(0, 2, 1, 3).reshape(B * self.num_heads, Lk,
+                                                     head_dim)
+                vh = v.transpose(0, 2, 1, 3).reshape(B * self.num_heads, Lk,
+                                                     head_dim)
+                out = block_causal_attention_pallas(
+                    qh, kh, vh, int(block_causal_slots),
+                    interpret=pallas_interpret())
+                out = out.reshape(B, self.num_heads, Lq, head_dim) \
+                    .transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+                if needs_proj:
+                    out = nn.Dense(self.emb_dim, kernel_init=xavier_init,
+                                   bias_init=zeros_init, dtype=self.dtype,
+                                   name="out_proj")(out)
+                    if self.dropout > 0:
+                        out = nn.Dropout(self.dropout)(
+                            out, deterministic=deterministic)
+                return out
 
         scale = head_dim ** -0.5
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
@@ -165,13 +227,16 @@ class TransformerDecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, queries, feats=None, self_attn_mask=None, cross_attn_mask=None,
-                 deterministic=True):
+                 deterministic=True, block_causal_slots=None, cache=None):
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_att")(queries)
         x = MultiHeadAttention(
             emb_dim=self.embed_dim, head_dim=self.head_dim, num_heads=self.num_heads,
             self_attn=True, project_out=self.project_out, dropout=self.dropout,
             dtype=self.dtype, name="attn",
-        )(x, mask=self_attn_mask, deterministic=deterministic)
+        )(x, mask=self_attn_mask, deterministic=deterministic,
+          block_causal_slots=block_causal_slots, cache=cache)
+        if cache is not None:
+            x, new_cache = x
         y = x + queries
 
         if self.use_cross_attn:
@@ -187,6 +252,8 @@ class TransformerDecoderBlock(nn.Module):
 
         out = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_mlp")(y)
         out = MLP(hidden_dim=self.mlp_size, dtype=self.dtype, name="mlp")(out)
+        if cache is not None:
+            return out + y, new_cache
         return out + y
 
 

@@ -179,9 +179,49 @@ class SlotGPTDynamicsModel(BaseSlotDynamicsModel):
         x = x.reshape(B, F * S, -1)
         mask = build_slot_causal_mask(F, S)[None, None]  # (1, 1, T, T)
         for block in self.blocks:
-            x = block(x, self_attn_mask=mask, deterministic=deterministic)
+            # block_causal_slots routes to the fused Pallas staircase-
+            # attention kernel on TPU (mask arg is the XLA fallback)
+            x = block(x, self_attn_mask=mask, deterministic=deterministic,
+                      block_causal_slots=S)
         pred = self.regression_head(x).reshape(B, F, S, self.slot_dim)
         return pred + slots if self.residual else pred
+
+    def forward_cached(self, slots, action_protos, action_vars=None,
+                       caches=None, offset=0):
+        """
+        KV-cached incremental forward: process only the NEW frames given the
+        per-layer key/value buffers of all previously-processed frames.
+
+        Exact alternative to the windowed-recompute path while the context
+        window is still GROWING (total frames <= context_length): token
+        positions never shift, so cached keys/values equal what a full
+        recompute would produce (SURVEY.md §7.3 "AR rollout with sliding
+        window + KV cache"; the reference has no cache and recomputes —
+        DynamicsModels.py:396-454).
+
+        Args:
+            slots: (B, F_new, S, slot_dim) new frames (F_new = num_seed when
+                priming, 1 per AR step after).
+            action_protos/action_vars: conditioning for the new frames only.
+            caches: list (one per layer) of {"k","v": (B, Tmax, H, Dh),
+                "len": int32} — see engine.rollout.init_kv_caches.
+            offset: global frame index of slots[:, 0] (for the time-only PE).
+
+        Returns (pred (B, F_new, S, slot_dim), new_caches).
+        """
+        assert caches is not None and len(caches) == self.num_layers
+        B, F, S, _ = slots.shape
+        x = self.condition_slots(self.tok_emb(slots), action_protos, action_vars)
+        x = self.pos_emb(x, offset=offset, deterministic=True)
+        x = x.reshape(B, F * S, -1)
+        new_caches = []
+        for block, c in zip(self.blocks, caches):
+            x, c = block(x, deterministic=True, block_causal_slots=S, cache=c)
+            new_caches.append(c)
+        pred = self.regression_head(x).reshape(B, F, S, self.slot_dim)
+        if self.residual:
+            pred = pred + slots
+        return pred, new_caches
 
     def enforce_window(self, *tensors):
         """Crop trailing context_length frames (DynamicsModels.py:519-527)."""

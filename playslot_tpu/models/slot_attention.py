@@ -63,8 +63,10 @@ class SlotAttention(nn.Module):
         for _ in range(num_iters):  # static unroll: 1-3 iterations
             slots_prev = slots
             q = to_q(norm_slot(slots))
+            # the Pallas kernel carries a custom_vjp (backward = analytic XLA
+            # VJP), so it is live on both training and inference paths
             updates, attn = slot_attention_iteration(
-                q, k, v, epsilon=self.epsilon, allow_pallas=not train)
+                q, k, v, epsilon=self.epsilon, allow_pallas=True)
             flat = lambda t: t.reshape(-1, self.dim_slots)
             slots = gru(flat(updates), flat(slots_prev)).reshape(B, -1, self.dim_slots)
             slots = slots + mlp(norm_mlp(slots))

@@ -1,7 +1,9 @@
 """
 Pallas-vs-XLA dispatch: fused TPU kernels on TPU backends, XLA fallbacks
 elsewhere (CPU tests run the kernels in interpret mode via the parity suite).
-Controlled by PLAYSLOT_USE_PALLAS = auto|1|0.
+Controlled by PLAYSLOT_USE_PALLAS = auto|1|0|interpret ("interpret" forces
+the Pallas code paths in the Pallas interpreter — hermetic CPU testing of
+the full production wiring, including the custom_vjp training paths).
 """
 
 import os
@@ -9,13 +11,40 @@ import os
 import jax
 
 
-def use_pallas():
+# measured production defaults per kernel on TPU (docs/PERFORMANCE.md):
+# value applies when PLAYSLOT_USE_PALLAS=auto and no per-kernel override
+# (PLAYSLOT_PALLAS_<KERNEL>=0|1) is set.
+_AUTO_DEFAULTS = {
+    "slot_attention": True,
+    "block_causal": True,
+    "vq": True,
+}
+
+
+def use_pallas(kernel=None):
+    """Whether the given kernel (or any kernel, if None) should dispatch to
+    its Pallas implementation. Global switch PLAYSLOT_USE_PALLAS=auto|1|0|
+    interpret; per-kernel override PLAYSLOT_PALLAS_<KERNEL>=0|1 consulted in
+    `auto` mode only."""
     mode = os.environ.get("PLAYSLOT_USE_PALLAS", "auto")
-    if mode == "1":
+    if mode in ("1", "interpret"):
         return True
     if mode == "0":
         return False
     try:
-        return jax.devices()[0].platform == "tpu"
+        on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+    if not on_tpu:
+        return False
+    if kernel is not None:
+        override = os.environ.get(f"PLAYSLOT_PALLAS_{kernel.upper()}")
+        if override in ("0", "1"):
+            return override == "1"
+        return _AUTO_DEFAULTS.get(kernel, True)
+    return True
+
+
+def pallas_interpret():
+    """True when the kernels should run in the Pallas interpreter (CPU)."""
+    return os.environ.get("PLAYSLOT_USE_PALLAS") == "interpret"

@@ -41,11 +41,7 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_slots, scale):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def block_causal_attention_pallas(q, k, v, num_slots, interpret=False):
-    """
-    Args: q/k/v (BH, T, Dh) with T = num_frames * num_slots.
-    Returns (BH, T, Dh) attention output with the staircase mask applied.
-    """
+def _pallas_forward(q, k, v, num_slots, interpret):
     BH, T, Dh = q.shape
     scale = Dh ** -0.5
     kernel = functools.partial(_kernel, num_slots=num_slots, scale=scale)
@@ -58,3 +54,45 @@ def block_causal_attention_pallas(q, k, v, num_slots, interpret=False):
         out_shape=jax.ShapeDtypeStruct((BH, T, Dh), v.dtype),
         interpret=interpret,
     )(q, k, v)
+
+
+def _xla_reference(q, k, v, num_slots):
+    """Staircase-masked attention in plain XLA — the math of the masked
+    MultiHeadAttention path, used to derive the backward pass."""
+    T = q.shape[1]
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("btd,bkd->btk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    frame_q = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) // num_slots
+    frame_k = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) // num_slots
+    logits = jnp.where(frame_k <= frame_q, logits, jnp.float32(-1e9))
+    attn = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("btk,bkd->btd", attn.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def block_causal_attention_pallas(q, k, v, num_slots, interpret=False):
+    """
+    Args: q/k/v (BH, T, Dh) with T = num_frames * num_slots.
+    Returns (BH, T, Dh) attention output with the staircase mask applied.
+
+    Differentiable (custom_vjp): the fused kernel runs the forward; the
+    backward recomputes intermediates in XLA and applies the analytic VJP, so
+    SlotGPT can run this kernel in training as well as AR decode.
+    """
+    return _pallas_forward(q, k, v, num_slots, interpret)
+
+
+def _fwd(q, k, v, num_slots, interpret):
+    return _pallas_forward(q, k, v, num_slots, interpret), (q, k, v)
+
+
+def _bwd(num_slots, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, num_slots),
+                     q, k, v)
+    return vjp(g)
+
+
+block_causal_attention_pallas.defvjp(_fwd, _bwd)

@@ -40,8 +40,7 @@ def _kernel(q_ref, k_ref, v_ref, upd_ref, attn_ref, *, epsilon):
     attn_ref[0] = attn.astype(attn_ref.dtype)
 
 
-def slot_attention_iteration_pallas(q, k, v, epsilon=1e-8, interpret=False):
-    """Pallas version of ops.slot_attention.slot_attention_iteration."""
+def _pallas_forward(q, k, v, epsilon, interpret):
     B, S, D = q.shape
     N = k.shape[1]
     kernel = functools.partial(_kernel, epsilon=epsilon)
@@ -64,3 +63,44 @@ def slot_attention_iteration_pallas(q, k, v, epsilon=1e-8, interpret=False):
         interpret=interpret,
     )(q, k, v)
     return upd, attn
+
+
+def _xla_reference(q, k, v, epsilon):
+    """The exact math of ops.slot_attention.slot_attention_iteration (XLA),
+    used to derive the backward pass of the custom_vjp below — gradients of
+    the Pallas path therefore match the XLA fallback to float tolerance."""
+    scale = q.shape[-1] ** -0.5
+    dots = jnp.einsum("bsd,bnd->bsn", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(dots, axis=1) + epsilon
+    attn_renorm = attn / jnp.sum(attn, axis=-1, keepdims=True)
+    updates = jnp.einsum("bsn,bnd->bsd", attn_renorm.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+    return updates, attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def slot_attention_iteration_pallas(q, k, v, epsilon=1e-8, interpret=False):
+    """Pallas version of ops.slot_attention.slot_attention_iteration.
+
+    Differentiable: the fused kernel runs the forward pass; the backward pass
+    recomputes the (tiny) intermediates in XLA and applies the analytic VJP
+    of the reference math, so the kernel is live on TRAINING paths too (the
+    round-1 version silently fell back during training,
+    models/slot_attention.py:67)."""
+    return _pallas_forward(q, k, v, epsilon, interpret)
+
+
+def _fwd(q, k, v, epsilon, interpret):
+    out = _pallas_forward(q, k, v, epsilon, interpret)
+    return out, (q, k, v)
+
+
+def _bwd(epsilon, interpret, res, cotangents):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, epsilon),
+                     q, k, v)
+    return vjp(cotangents)
+
+
+slot_attention_iteration_pallas.defvjp(_fwd, _bwd)

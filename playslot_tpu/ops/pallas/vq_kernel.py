@@ -6,6 +6,8 @@ codeword gather (as a one-hot matmul — TPU-friendly) in one pass.
 XLA fallback: ops/vq.nearest_codeword.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -32,8 +34,7 @@ def _kernel(z_ref, cb_ref, zq_ref, idx_ref):
     idx_ref[...] = idx.astype(jnp.int32)[:, None]
 
 
-def nearest_codeword_pallas(z, codebook, interpret=False):
-    """Pallas version of ops.vq.nearest_codeword; z (..., D), codebook (N, D)."""
+def _pallas_forward(z, codebook, interpret):
     lead = z.shape[:-1]
     D = z.shape[-1]
     zf = z.reshape(-1, D)
@@ -49,3 +50,34 @@ def nearest_codeword_pallas(z, codebook, interpret=False):
         interpret=interpret,
     )(zf, codebook)
     return zq.reshape(*lead, D), idx.reshape(lead).astype(jnp.int32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def nearest_codeword_pallas(z, codebook, interpret=False):
+    """Pallas version of ops.vq.nearest_codeword; z (..., D), codebook (N, D).
+
+    Differentiable (custom_vjp): the VQ commit loss back-propagates through
+    the codeword gather into the codebook (models/quantization.py:92 for the
+    non-EMA quantizer), so the backward scatters the z_q cotangent onto the
+    selected codewords (argmin itself is piecewise-constant: dz = 0, matching
+    XLA's take/argmin gradients).
+    """
+    return _pallas_forward(z, codebook, interpret)
+
+
+def _fwd(z, codebook, interpret):
+    zq, idx = _pallas_forward(z, codebook, interpret)
+    return (zq, idx), (idx, jnp.zeros((codebook.shape[0],), codebook.dtype))
+
+
+def _bwd(interpret, res, cotangents):
+    g_zq, _ = cotangents  # idx is int: no cotangent
+    idx, cb_proto = res
+    N = cb_proto.shape[0]
+    onehot = jax.nn.one_hot(idx.reshape(-1), N, dtype=jnp.float32)
+    g_cb = jnp.einsum("mn,md->nd", onehot,
+                      g_zq.reshape(-1, g_zq.shape[-1]).astype(jnp.float32))
+    return jnp.zeros_like(g_zq), g_cb.astype(cb_proto.dtype)
+
+
+nearest_codeword_pallas.defvjp(_fwd, _bwd)

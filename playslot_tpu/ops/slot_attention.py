@@ -30,11 +30,12 @@ def slot_attention_iteration(q, k, v, epsilon=1e-8, allow_pallas=False):
                  matching the reference's stored `attention_masks`.
     """
     if allow_pallas:
-        from playslot_tpu.ops.dispatch import use_pallas
-        if use_pallas():
+        from playslot_tpu.ops.dispatch import pallas_interpret, use_pallas
+        if use_pallas("slot_attention"):
             from playslot_tpu.ops.pallas.slot_attention_kernel import (
                 slot_attention_iteration_pallas)
-            return slot_attention_iteration_pallas(q, k, v, epsilon=epsilon)
+            return slot_attention_iteration_pallas(
+                q, k, v, epsilon=epsilon, interpret=pallas_interpret())
     scale = q.shape[-1] ** -0.5
     dots = jnp.einsum("bsd,bnd->bsn", q, k, preferred_element_type=jnp.float32) * scale
     attn = jax.nn.softmax(dots, axis=1) + epsilon  # softmax over slots: competition

@@ -22,7 +22,7 @@ def pairwise_sq_dist(x, y):
     return x2 - 2.0 * xy + y2
 
 
-def nearest_codeword(z, codebook):
+def nearest_codeword(z, codebook, allow_pallas=True):
     """
     Nearest-codeword search.
 
@@ -34,6 +34,12 @@ def nearest_codeword(z, codebook):
         z_q: (..., D) quantized embeddings (gathered codewords).
         idx: (...,) int32 indices of the nearest codeword.
     """
+    if allow_pallas:
+        from playslot_tpu.ops.dispatch import pallas_interpret, use_pallas
+        if use_pallas("vq"):
+            from playslot_tpu.ops.pallas.vq_kernel import nearest_codeword_pallas
+            return nearest_codeword_pallas(z, codebook,
+                                           interpret=pallas_interpret())
     lead_shape = z.shape[:-1]
     zf = z.reshape(-1, z.shape[-1])
     dist = pairwise_sq_dist(zf, codebook)

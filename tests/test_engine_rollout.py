@@ -86,3 +86,51 @@ def test_batched_prior_rollout(setup):
     preds2 = batched_prior_rollout(pred, variables, seed, num_samples=4,
                                    num_preds=5, rng=jax.random.PRNGKey(3))
     np.testing.assert_allclose(a, np.asarray(preds2), atol=1e-6)
+
+
+def test_kv_cached_rollout_matches_scan(setup):
+    """KV-cached incremental decode == windowed recompute while the window
+    grows (round-1 VERDICT item 9: the long-context cache experiment)."""
+    from playslot_tpu.engine.rollout import kv_cached_rollout
+    pred, variables, slots = setup
+    num_seed, num_preds = 1, 3  # 1 + 3 <= context_length 4
+    seed_slots = slots[:, :num_seed]
+    T_act = num_seed + num_preds
+    protos = jax.random.normal(jax.random.PRNGKey(4), (2, T_act, S, A)) * 0.3
+    avars = jax.random.normal(jax.random.PRNGKey(5), (2, T_act, S, A)) * 0.1
+
+    ref = scan_rollout(pred, variables, seed_slots, protos, avars, num_preds)
+    fast = kv_cached_rollout(pred, variables, seed_slots, protos, avars,
+                             num_preds)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    # jits cleanly (the cache threading is a scan carry)
+    jitted = jax.jit(lambda s, p, v: kv_cached_rollout(
+        pred, variables, s, p, v, num_preds))
+    fast2 = jitted(seed_slots, protos, avars)
+    np.testing.assert_allclose(np.asarray(fast2), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+    # refuses the sliding regime (cache would not match reference semantics)
+    with pytest.raises(ValueError):
+        kv_cached_rollout(pred, variables, slots[:, :2], protos, avars, 5)
+
+
+def test_kv_cached_rollout_no_variability():
+    from playslot_tpu.engine.rollout import kv_cached_rollout
+    kw = dict(PRED_KW)
+    kw["use_variability"] = False
+    pred = SlotSingleActionPredictor(**kw)
+    key = jax.random.PRNGKey(7)
+    slots = jax.random.normal(key, (2, 6, S, D)) * 0.5
+    variables = pred.init({"params": key, "action": key}, slots,
+                          num_seed=2, num_preds=3)
+    num_seed, num_preds = 2, 2
+    seed_slots = slots[:, :num_seed]
+    protos = jax.random.normal(jax.random.PRNGKey(6), (2, 4, S, A)) * 0.3
+    ref = scan_rollout(pred, variables, seed_slots, protos, None, num_preds)
+    fast = kv_cached_rollout(pred, variables, seed_slots, protos, None,
+                             num_preds)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)

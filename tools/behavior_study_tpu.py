@@ -1,0 +1,267 @@
+#!/usr/bin/env python3
+"""
+Round-2 closed-loop behavior study (VERDICT item 4): multi-seed 4-stage
+PlaySlot pipeline on the hermetic goal-reaching scene, with an ORACLE
+baseline per seed that isolates perception quality from the latent-action
+channel (reference capability: src/10_train_oracle.py +
+src/11_evaluate_oracle_simulation.py).
+
+Per seed:
+  1. SAVi on the random-exploration scene  -> PSNR / mIoU
+  2. ORACLE policy (slots -> GT actions, expert demos) -> closed-loop success
+     [oracle success high + policy success low  => latent channel is binding;
+      oracle success low                        => perception is binding]
+  3. PlaySlot predictor (InvDyn + SlotGPT)
+  4. Behavior cloning (policy + action decoder)  -> closed-loop success
+     (grounded re-encode every step, the controller setting; and pure
+      imagination, the reference's open-loop protocol)
+
+Aggregates mean +- std over seeds into experiments/<EXP>/STUDY_RESULTS.json.
+
+Defaults scale the scene UP from round 1's 32px (where SAVi slot
+decomposition was unstable - STATUS.md #1): 64px frames, 12px shapes,
+4 slots (objects + background + 1 spare).
+"""
+
+import copy
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+from playslot_tpu.config import Config, DEFAULTS
+
+EXP_ROOT = os.environ.get("PLAYSLOT_STUDY_EXP", "experiments/GridShapesStudy")
+SEEDS = [int(s) for s in os.environ.get("PLAYSLOT_STUDY_SEEDS", "0 1 2").split()]
+IMG = int(os.environ.get("PLAYSLOT_STUDY_IMG", "64"))
+NUM_SLOTS = int(os.environ.get("PLAYSLOT_STUDY_SLOTS", "4"))
+EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_EPOCHS", "10"))
+ITERS = int(os.environ.get("PLAYSLOT_STUDY_ITERS", "400"))
+NUM_SIMS = int(os.environ.get("PLAYSLOT_STUDY_SIMS", "30"))
+MAX_STEPS = int(os.environ.get("PLAYSLOT_STUDY_MAX_STEPS", "60"))
+BATCH = int(os.environ.get("PLAYSLOT_STUDY_BATCH", "16"))
+STAGES = os.environ.get("PLAYSLOT_STUDY_STAGES", "full")  # full | savi_oracle
+
+
+def log(m):
+    print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
+
+
+def savi_cfg():
+    return {
+        "num_slots": NUM_SLOTS, "slot_dim": 64, "num_iterations_first": 3,
+        "num_iterations": 2, "in_channels": 3, "mlp_hidden": 128,
+        "mlp_encoder_dim": 64, "initializer": "LearnedRandom",
+        "encoder": {"encoder_name": "ConvEncoder",
+                    "encoder_params": {"num_channels": [32, 32, 32],
+                                       "kernel_size": 5,
+                                       "resolution": [IMG, IMG]}},
+        "decoder": {"decoder_name": "ConvDecoder",
+                    "decoder_params": {"num_channels": [32, 32, 32],
+                                       "kernel_size": 5,
+                                       "resolution": [IMG, IMG],
+                                       "upsample": 1}},
+        "transition_module_params": {"model_name": "TransformerBlock",
+                                     "num_heads": 4, "head_dim": 16,
+                                     "mlp_size": 128},
+    }
+
+
+PRED_CFG = {
+    "predictor_name": "SlotSingleAction",
+    "predictor_params": {
+        "num_actions": 5, "action_dim": 16, "slot_dim": 64,
+        "condition_mode": "sum", "use_variability": True,
+        "autoregressive_dynamics": True,
+        "LatentAction": {"model_name": "VQSingleSlotLatentAction",
+                         "model_params": {"emb_dim": 128, "num_layers": 2,
+                                          "num_heads": 4, "head_dim": 32,
+                                          "mlp_dim": 256, "use_ema_vq": True}},
+        "DynamicsModel": {"model_name": "SlotGPTDymamicsModel",
+                          "model_params": {"embed_dim": 128, "head_dim": 32,
+                                           "num_heads": 4, "mlp_size": 256,
+                                           "num_layers": 2, "context_length": 4,
+                                           "pos_enc_dropout": 0.0}},
+    },
+}
+
+BEH_CFG = {
+    "model_name": "MarkovBehaviorCloner",
+    "model_params": {"emb_dim": 128, "num_layers": 2, "num_heads": 4,
+                     "head_dim": 32, "mlp_dim": 256}}
+
+
+def run_seed(seed):
+    from playslot_tpu.train.trainer import SAViTrainer
+    from playslot_tpu.train.evaluator import SAViEvaluator
+    from playslot_tpu.train.predictor_trainer import PredictorTrainer
+    from playslot_tpu.train.behavior_trainer import BehaviorTrainer, OracleTrainer
+    from playslot_tpu.train.sim_evaluator import SimulationEvaluator
+
+    exp = os.path.join(EXP_ROOT, f"seed{seed}")
+    os.makedirs(exp, exist_ok=True)
+    out = {"seed": seed}
+
+    cfg = Config(exp_path=exp, **copy.deepcopy(DEFAULTS))
+    cfg["model"] = {"model_name": "SAVi", "model_params": savi_cfg()}
+    cfg["dataset"].update({
+        "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
+        "img_size": IMG, "length": ITERS * BATCH, "seed": seed})
+    cfg["training"].update({
+        "num_epochs": EPOCHS, "batch_size": BATCH,
+        "train_iters_per_epoch": ITERS, "valid_iters_per_epoch": 8,
+        "save_frequency": max(EPOCHS, 1), "lr": 2e-4, "warmup_steps": 100,
+        "scheduler_steps": EPOCHS * ITERS, "compute_dtype": "bfloat16",
+        "seed": seed})
+    cfg.save()
+
+    # ---------------------------------------------------------- 1: SAVi
+    log(f"[seed {seed}] stage 1: SAVi ({IMG}px, {NUM_SLOTS} slots)...")
+    tr = SAViTrainer(exp)
+    tr.load_data()
+    tr.setup_model()
+    tr.training_loop()
+    savi_res = SAViEvaluator(exp, {"params": tr.state.params},
+                             metrics=("psnr",), results_name="savi_eval"
+                             ).evaluate(max_batches=2)
+    out["savi_psnr"] = float(savi_res["psnr"]["mean"])
+    out["savi_miou"] = float(savi_res.get("miou", {}).get("mean", -1))
+    log(f"[seed {seed}] SAVi psnr={out['savi_psnr']:.2f} "
+        f"miou={out['savi_miou']:.3f}")
+
+    # ---------------------------------------------------------- 2: oracle
+    orc_path = os.path.join(exp, "oracle", "Oracle")
+    os.makedirs(orc_path, exist_ok=True)
+    ocfg = Config.load(exp)
+    ocfg["behavior_model"] = copy.deepcopy(BEH_CFG)
+    ocfg["action_dim"] = 2
+    ocfg["behavior_loss"] = [{"type": "action_mse", "weight": 1.0}]
+    ocfg.save(orc_path)
+    log(f"[seed {seed}] stage 2: oracle policy...")
+    otr = OracleTrainer(orc_path)
+    otr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
+    otr.exp_params["dataset"]["num_frames"] = 16
+    otr.load_data()
+    otr.load_models(savi_params=tr.state.params)
+    otr.setup_behavior_models()
+    otr.training_loop()
+    oev = SimulationEvaluator(
+        orc_path, {"params": tr.state.params}, None,
+        otr.state.params["policy"], None, num_sims=NUM_SIMS,
+        max_num_steps=MAX_STEPS, sim_name="GridShapes", oracle=True)
+    orc_res = oev.evaluate()
+    out["oracle_success"] = float(orc_res["success_rate"])
+    log(f"[seed {seed}] oracle closed-loop success={out['oracle_success']:.2f}")
+
+    if STAGES == "savi_oracle":
+        return out
+
+    # ---------------------------------------------------------- 3: PlaySlot
+    pred_path = os.path.join(exp, "predictors", "PlaySlot")
+    os.makedirs(pred_path, exist_ok=True)
+    pcfg = Config.load(exp)
+    pcfg["predictor"] = copy.deepcopy(PRED_CFG)
+    pcfg["predictor_loss"] = copy.deepcopy(DEFAULTS["predictor_loss"])
+    pcfg["prediction_params"] = {"num_context": 3, "num_preds": 5,
+                                 "teacher_force": False, "sample_length": 8,
+                                 "input_buffer_size": 8}
+    pcfg.save(pred_path)
+    log(f"[seed {seed}] stage 3: PlaySlot predictor...")
+    ptr = PredictorTrainer(exp, name_predictor_experiment="PlaySlot")
+    ptr.load_data()
+    ptr.load_savi(savi_params=tr.state.params)
+    ptr.setup_predictor()
+    ptr.training_loop()
+    usage = np.asarray(ptr.state.vq["latent_action"]["quantizer"]["usage_bins"])
+    out["vq_usage"] = np.round(usage, 3).tolist()
+
+    # ---------------------------------------------------------- 4: behavior
+    beh_path = os.path.join(pred_path, "behaviors", "Policy")
+    os.makedirs(beh_path, exist_ok=True)
+    bcfg = Config.load(pred_path)
+    bcfg["behavior_model"] = copy.deepcopy(BEH_CFG)
+    bcfg["action_decoder"] = {
+        "model_name": "MLPDecoder",
+        "model_params": {"in_dim": 16, "out_dim": 2, "hidden_dim": [64, 64]}}
+    bcfg["behavior_distill_target"] = "mean"
+    bcfg["behavior_loss"] = [
+        {"type": "latent_action_mse", "weight": 1.0},
+        {"type": "action_mse", "weight": 1.0}]
+    bcfg.save(beh_path)
+    log(f"[seed {seed}] stage 4: behavior cloning...")
+    btr = BehaviorTrainer(beh_path)
+    btr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
+    btr.exp_params["dataset"]["num_frames"] = 16
+    btr.load_data()
+    btr.load_models(savi_params=tr.state.params,
+                    predictor_variables={"params": ptr.state.params,
+                                         "vq": ptr.state.vq})
+    btr.setup_behavior_models()
+    btr.training_loop()
+
+    # ---------------------------------------------------------- closed loop
+    common = dict(num_sims=NUM_SIMS, max_num_steps=MAX_STEPS,
+                  sim_name="GridShapes")
+    log(f"[seed {seed}] closed-loop evaluation...")
+    ev_g = SimulationEvaluator(
+        beh_path, {"params": tr.state.params},
+        {"params": ptr.state.params, "vq": ptr.state.vq},
+        btr.state.params["policy"], btr.state.params["decoder"],
+        ground_with_obs=True, **common)
+    out["policy_success_grounded"] = float(ev_g.evaluate()["success_rate"])
+    ev_i = SimulationEvaluator(
+        beh_path, {"params": tr.state.params},
+        {"params": ptr.state.params, "vq": ptr.state.vq},
+        btr.state.params["policy"], btr.state.params["decoder"], **common)
+    out["policy_success_imagination"] = float(ev_i.evaluate()["success_rate"])
+    log(f"[seed {seed}] policy success grounded="
+        f"{out['policy_success_grounded']:.2f} "
+        f"imagination={out['policy_success_imagination']:.2f}")
+    return out
+
+
+def main():
+    os.makedirs(EXP_ROOT, exist_ok=True)
+    per_seed = []
+    for seed in SEEDS:
+        res = run_seed(seed)
+        per_seed.append(res)
+        with open(os.path.join(EXP_ROOT, "STUDY_RESULTS.json"), "w") as f:
+            json.dump({"config": {"img": IMG, "slots": NUM_SLOTS,
+                                  "epochs": EPOCHS, "iters": ITERS,
+                                  "num_sims": NUM_SIMS,
+                                  "max_steps": MAX_STEPS},
+                       "per_seed": per_seed}, f, indent=2)
+
+    def agg(key):
+        vals = [r[key] for r in per_seed if key in r]
+        return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
+                "values": vals} if vals else None
+
+    summary = {
+        "config": {"img": IMG, "slots": NUM_SLOTS, "epochs": EPOCHS,
+                   "iters": ITERS, "num_sims": NUM_SIMS,
+                   "max_steps": MAX_STEPS, "seeds": SEEDS},
+        "per_seed": per_seed,
+        "aggregate": {k: agg(k) for k in (
+            "savi_psnr", "savi_miou", "oracle_success",
+            "policy_success_grounded", "policy_success_imagination")},
+        "device": str(jax.devices()[0]),
+    }
+    with open(os.path.join(EXP_ROOT, "STUDY_RESULTS.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    log(f"STUDY DONE: {json.dumps(summary['aggregate'])}")
+
+
+if __name__ == "__main__":
+    main()
