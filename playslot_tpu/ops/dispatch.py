@@ -11,12 +11,17 @@ import os
 import jax
 
 
-# measured production defaults per kernel on TPU (docs/PERFORMANCE.md):
-# value applies when PLAYSLOT_USE_PALLAS=auto and no per-kernel override
+# measured production defaults per kernel on TPU (docs/PERFORMANCE.md,
+# tools/bench_kernels_tpu.py part B, v5e): slot-attention and VQ kernels are
+# end-to-end neutral vs XLA (within ±0.4%) and stay live; the block-causal
+# kernel costs +4% on the bench step (608 vs 586 ms) — XLA's fused attention
+# wins at these tiny token counts, so it defaults off and remains
+# flag-selectable (PLAYSLOT_PALLAS_BLOCK_CAUSAL=1) + parity-tested.
+# Values apply when PLAYSLOT_USE_PALLAS=auto and no per-kernel override
 # (PLAYSLOT_PALLAS_<KERNEL>=0|1) is set.
 _AUTO_DEFAULTS = {
     "slot_attention": True,
-    "block_causal": True,
+    "block_causal": False,
     "vq": True,
 }
 

@@ -116,10 +116,17 @@ class SimulationEvaluator:
         num_slots = self.num_slots
 
         @jax.jit
-        def control_step(slots_window):
+        def control_step(slots_window, protos_hist, vars_hist):
             """
-            slots_window: (1, L, S, D) history (L <= context_length).
-            Returns (robot_action (A,), next_slots (1, S, D)).
+            slots_window: (1, L, S, D) slot history (L <= context_length).
+            protos_hist/vars_hist: (1, L-1, A) latent-action HISTORY — each
+                past frame is conditioned with its own action, exactly like
+                the reference's action_protos_hist accumulation
+                (11_evaluate_behavior_on_simulation.py:151-175); the current
+                step's action is appended here.
+
+            Returns (robot_action (A,), next_slots (1, S, D),
+                     protos_hist (1, L, A), vars_hist (1, L, A)).
             """
             cur = slots_window[:, -1:]
             latent = policy.apply({"params": policy_params}, cur)[:, -1]  # (1, A)
@@ -129,9 +136,12 @@ class SimulationEvaluator:
             robot_action = action_decoder.apply(
                 {"params": decoder_params}, latent)[0]
 
-            L = slots_window.shape[1]
-            proto_seq = jnp.tile(protos[:, None, None, :], (1, L, num_slots, 1))
-            var_seq = jnp.tile(variability[:, None, None, :], (1, L, num_slots, 1))
+            protos_hist = jnp.concatenate(
+                [protos_hist, protos[:, None]], axis=1)          # (1, L, A)
+            vars_hist = jnp.concatenate(
+                [vars_hist, variability[:, None]], axis=1)
+            proto_seq = jnp.tile(protos_hist[:, :, None, :], (1, 1, num_slots, 1))
+            var_seq = jnp.tile(vars_hist[:, :, None, :], (1, 1, num_slots, 1))
             use_var = getattr(predictor, "use_variability", False)
             pred_slots = predictor.apply(
                 pred_variables, slots_window, proto_seq,
@@ -139,7 +149,7 @@ class SimulationEvaluator:
                 method=lambda m, s, p, v: m.dynamics_model.forward_single(
                     s, p, action_vars=v))
             next_slots = pred_slots[:, -1]
-            return robot_action, next_slots
+            return robot_action, next_slots, protos_hist, vars_hist
 
         self._control_step = control_step
 
@@ -152,12 +162,17 @@ class SimulationEvaluator:
         img_size = self.exp_params["dataset"].get("img_size", (64, 64))
         if isinstance(img_size, int):
             img_size = (img_size, img_size)
+        action_dim = getattr(self, "action_dim", 0)
         for ep in range(self.num_sims):
             sim = setup_simulation(self.sim_name, seed=self.seed + ep,
                                    img_size=tuple(img_size))
             img = sim.init_seq()
             slots = np.asarray(self._encode_first(jnp.asarray(img)))  # (1, S, D)
             window = [slots]
+            # latent-action history, one entry per frame in the window
+            # (reference action_protos_hist, 11_evaluate_behavior:151-158)
+            protos_hist = np.zeros((1, 0, action_dim), np.float32)
+            vars_hist = np.zeros((1, 0, action_dim), np.float32)
             done, succ = False, False
             steps = 0
             sim_frames = [img]
@@ -168,9 +183,11 @@ class SimulationEvaluator:
                     action = np.asarray(self._control_step_oracle(w))[0]
                     next_slots = slots  # oracle re-encodes each frame
                 else:
-                    action, next_slots = self._control_step(w)
+                    action, next_slots, ph, vh = self._control_step(
+                        w, jnp.asarray(protos_hist), jnp.asarray(vars_hist))
                     action = np.asarray(action) * self.action_scale
                     next_slots = np.asarray(next_slots)
+                    protos_hist, vars_hist = np.asarray(ph), np.asarray(vh)
                 img, done = sim.update(action)
                 if self.oracle or self.ground_with_obs:
                     next_slots = np.asarray(self._encode_next(
@@ -179,6 +196,8 @@ class SimulationEvaluator:
                 all_slots.append(next_slots)
                 if len(window) > self.context_length:
                     window = window[-self.context_length:]
+                    protos_hist = protos_hist[:, -(self.context_length - 1):]
+                    vars_hist = vars_hist[:, -(self.context_length - 1):]
                 succ = sim.success()
                 steps += 1
                 sim_frames.append(img)
