@@ -2,10 +2,10 @@
 Visualization toolkit: frame grids, object decompositions, segmentations,
 GIFs, metric plots and codebook diagnostics.
 
-Capability parity with reference src/lib/visualizations.py (the subset every
-entry script uses: visualize_sequence / visualize_recons / visualize_decomp,
-masks_to_rgb / overlay_segmentations, make_gif, metric plots,
-visualize_bins_count / distance-between-centroids).
+Capability parity with reference src/lib/visualizations.py: sequence /
+recons / decomposition / aligned-slot / qualitative-eval / stochastic grids,
+individual-frame exporters, segmentation coloring + overlays, GIF writers,
+metric plots, codebook diagnostics and latent-space projections.
 All inputs are channels-last numpy/jax arrays in [0, 1].
 """
 
@@ -223,6 +223,186 @@ def all_tensors_to_gif(seed_frames, target_frames, all_preds_frames, fpath,
     frames = (np.clip(np.stack(frames), 0, 1) * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(fpath) or ".", exist_ok=True)
     imageio.mimsave(fpath, list(frames), duration=duration, loop=0)
+
+
+def visualize_ind_figs(imgs, savepath, tag, size=3):
+    """Save every frame of a sequence as its own borderless PNG
+    `<tag>_<NN>.png` (reference visualizations.py:169-190)."""
+    imgs = np.clip(_to_numpy(imgs), 0, 1)
+    os.makedirs(savepath, exist_ok=True)
+    for i, frame in enumerate(imgs):
+        fig, ax = plt.subplots(figsize=(size, size))
+        ax.imshow(frame)
+        ax.set_xticks([]); ax.set_yticks([])
+        fig.savefig(os.path.join(savepath, f"{tag}_{i:02}.png"),
+                    bbox_inches="tight", pad_inches=0.0)
+        plt.close(fig)
+
+
+def visualize_ind_figs_objs(objs, masks, savepath, size=3):
+    """Save per-slot object, mask and masked-object PNGs for every frame
+    (`obj_/mask_/MaskedObj_<slot>_<frame>.png`, reference
+    visualizations.py:192-238). objs (T, S, H, W, C), masks (T, S, H, W, 1)."""
+    objs = np.clip(_to_numpy(objs), 0, 1)
+    masks = np.clip(_to_numpy(masks), 0, 1)
+    os.makedirs(savepath, exist_ok=True)
+    T, S = objs.shape[:2]
+    for t in range(T):
+        for s in range(S):
+            for name, img, kw in (
+                    (f"obj_{s:02}_{t:02}.png", objs[t, s], {}),
+                    (f"mask_{s:02}_{t:02}.png", masks[t, s, ..., 0],
+                     {"cmap": "gray"}),
+                    (f"MaskedObj_{s:02}_{t:02}.png",
+                     masks[t, s] * objs[t, s], {})):
+                fig, ax = plt.subplots(figsize=(size, size))
+                ax.imshow(img, **kw)
+                ax.set_xticks([]); ax.set_yticks([])
+                fig.savefig(os.path.join(savepath, name),
+                            bbox_inches="tight", pad_inches=0.0)
+                plt.close(fig)
+
+
+def visualize_ind_figs_stoch(seed, targets, all_preds, savepath, size=3,
+                             is_post=True):
+    """Individual PNGs for a stochastic eval: seed/target frames plus each
+    sampled rollout, tagged `post`/`prior_i` (reference
+    visualizations.py:241-255)."""
+    visualize_ind_figs(seed, savepath, tag="seed", size=size)
+    visualize_ind_figs(targets, savepath, tag="target", size=size)
+    for i, pred in enumerate(_to_numpy(all_preds)):
+        if is_post:
+            tag = "post" if i == 0 else f"prior_{i}"
+        else:
+            tag = f"prior_{i + 1}"
+        visualize_ind_figs(pred, savepath, tag=tag, size=size)
+
+
+def _bordered_row(frames, color):
+    return [add_border(f, color) for f in np.clip(_to_numpy(frames), 0, 1)]
+
+
+def visualize_qualitative_eval(context, targets, preds, savepath=None,
+                               size=4, fontsize=16, n_cols=10):
+    """
+    One-example qualitative eval grid: a green-bordered seed row, then
+    green-bordered target rows, then red-bordered prediction rows (reference
+    visualizations.py:333-384). All inputs (T, H, W, C) in [0, 1].
+    """
+    context = _bordered_row(context, "green")
+    targets = _bordered_row(targets, "green")
+    preds = _bordered_row(preds, "red")
+    n_cols = min(n_cols, max(len(targets), len(context)))
+    rows_t = -(-len(targets) // n_cols)
+    rows_p = -(-len(preds) // n_cols)
+    n_rows = 1 + rows_t + rows_p
+    fig, ax = plt.subplots(n_rows, n_cols,
+                           figsize=(n_cols * size, (n_rows + 1) * size),
+                           squeeze=False)
+    ax[0][n_cols // 2].set_title("Seed Frames", fontsize=fontsize)
+    ax[1][n_cols // 2].set_title("Target Frames", fontsize=fontsize)
+    ax[1 + rows_t][n_cols // 2].set_title("Predicted Frames",
+                                          fontsize=fontsize)
+    for i, f in enumerate(context[:n_cols]):
+        ax[0][i].imshow(f)
+    for i, f in enumerate(targets):
+        ax[1 + i // n_cols][i % n_cols].imshow(f)
+    for i, f in enumerate(preds):
+        ax[1 + rows_t + i // n_cols][i % n_cols].imshow(f)
+    for row in ax:
+        for a in row:
+            a.axis("off")
+    fig.tight_layout()
+    if savepath:
+        os.makedirs(os.path.dirname(savepath) or ".", exist_ok=True)
+        fig.savefig(savepath, dpi=100)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def visualize_stoch_frame_figs(context, targets, all_preds, titles=None,
+                               savepath=None, size=4, fontsize=30, n_cols=10):
+    """
+    Multi-sample qualitative eval: seed row, target rows, then one block of
+    rows per sampled prediction sequence (e.g. best-PSNR / best-SSIM /
+    posterior — reference visualizations.py:535-593). all_preds is
+    (K, T, H, W, C); titles optionally labels the K blocks.
+    """
+    all_preds = _to_numpy(all_preds)
+    if titles is not None and len(titles) != all_preds.shape[0]:
+        raise ValueError(
+            f"{all_preds.shape[0]} pred sequences != {len(titles)} titles")
+    context = _bordered_row(context, "green")
+    targets = _bordered_row(targets, "green")
+    n_preds = len(targets)
+    rows_per = -(-n_preds // n_cols)
+    n_rows = 1 + (all_preds.shape[0] + 1) * rows_per
+    fig, ax = plt.subplots(n_rows, n_cols,
+                           figsize=(n_cols * size, (n_rows + 1) * size),
+                           squeeze=False)
+    ax[0][n_cols // 2].set_title("Seed Frames", fontsize=fontsize)
+    ax[1][n_cols // 2].set_title("Target Frames", fontsize=fontsize)
+    for i, f in enumerate(context[:n_cols]):
+        ax[0][i].imshow(f)
+    for i, f in enumerate(targets):
+        ax[1 + i // n_cols][i % n_cols].imshow(f)
+    for k in range(all_preds.shape[0]):
+        offset = 1 + (k + 1) * rows_per
+        if titles is not None:
+            ax[offset][n_cols // 2].set_title(titles[k], fontsize=fontsize)
+        for i, f in enumerate(_bordered_row(all_preds[k][:n_preds], "red")):
+            ax[offset + i // n_cols][i % n_cols].imshow(f)
+    for row in ax:
+        for a in row:
+            a.axis("off")
+    fig.tight_layout()
+    if savepath:
+        os.makedirs(os.path.dirname(savepath) or ".", exist_ok=True)
+        fig.savefig(savepath, dpi=100)
+        plt.close(fig)
+        return None
+    return fig
+
+
+def idx_to_one_hot(x):
+    """Instance-index map (..., H, W) int -> one-hot masks (..., K, H, W)
+    with K = max index + 1 (reference visualizations.py:453-464; kept
+    classes-first to match its downstream overlay usage)."""
+    x = _to_numpy(x).astype(np.int64)
+    K = int(x.max()) + 1
+    one_hot = np.eye(K, dtype=np.int64)[x]          # (..., H, W, K)
+    return np.moveaxis(one_hot, -1, -3)             # (..., K, H, W)
+
+
+def overlay_segmentation(img, segmentation, alpha=0.7, colors=None):
+    """Blend boolean per-class masks over ONE image (reference
+    visualizations.py:512-532). img (H, W, C) in [0, 1]; segmentation
+    (K, H, W) boolean. The class covering the most pixels is treated as
+    background and drawn in off-white ('seashell')."""
+    img = np.clip(_to_numpy(img), 0, 1)
+    seg = _to_numpy(segmentation).astype(bool)
+    background = int(seg.sum(axis=(-1, -2)).argmax())
+    if colors is None:
+        colors = [COLORS[(i + 1) % len(COLORS)] for i in range(len(seg))]
+    colors = list(colors)
+    colors[background] = np.asarray([1.0, 0.961, 0.933])  # seashell
+    out = img.copy()
+    for k, mask in enumerate(seg):
+        out[mask] = (1 - alpha) * out[mask] + alpha * np.asarray(colors[k])
+    return np.clip(out, 0, 1)
+
+
+def get_random_colors(num_colors, seed=None):
+    """Random hex color strings (reference visualizations.py:628-634)."""
+    rng = np.random.RandomState(seed)
+    return ["#%06X" % rng.randint(0, 0x1000000) for _ in range(num_colors)]
+
+
+def tensors_to_gif(sequence, filename, duration=100):
+    """(T, H, W, C) in [0,1] -> GIF with per-frame duration in ms (reference
+    visualizations.py:637-645)."""
+    make_gif(sequence, filename, fps=1000 / duration)
 
 
 # ------------------------------------------------- latent-space projections

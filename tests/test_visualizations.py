@@ -36,6 +36,66 @@ def test_add_border_and_all_tensors_to_gif(tmp_path):
     assert frames[0].shape[1] == 5 * 14
 
 
+def test_individual_frame_exporters(tmp_path):
+    rng = np.random.RandomState(3)
+    seed = rng.rand(2, 8, 8, 3)
+    targets = rng.rand(3, 8, 8, 3)
+    preds = rng.rand(2, 3, 8, 8, 3)  # K=2 samples
+    d = str(tmp_path / "figs")
+    viz.visualize_ind_figs_stoch(seed, targets, preds, d, size=1)
+    names = {p.name for p in (tmp_path / "figs").iterdir()}
+    assert {"seed_00.png", "seed_01.png", "target_02.png",
+            "post_00.png", "prior_1_02.png"} <= names
+
+    objs = rng.rand(2, 2, 8, 8, 3)
+    masks = rng.rand(2, 2, 8, 8, 1)
+    viz.visualize_ind_figs_objs(objs, masks, d, size=1)
+    names = {p.name for p in (tmp_path / "figs").iterdir()}
+    assert {"obj_01_01.png", "mask_00_01.png", "MaskedObj_01_00.png"} <= names
+
+
+def test_qualitative_and_stoch_grids(tmp_path):
+    rng = np.random.RandomState(4)
+    ctx, tgt = rng.rand(3, 8, 8, 3), rng.rand(5, 8, 8, 3)
+    preds = rng.rand(5, 8, 8, 3)
+    out = str(tmp_path / "qual.png")
+    assert viz.visualize_qualitative_eval(ctx, tgt, preds, savepath=out,
+                                          size=1) is None
+    assert (tmp_path / "qual.png").exists()
+
+    all_preds = rng.rand(2, 5, 8, 8, 3)
+    out2 = str(tmp_path / "stoch.png")
+    assert viz.visualize_stoch_frame_figs(
+        ctx, tgt, all_preds, titles=["best PSNR", "posterior"],
+        savepath=out2, size=1, fontsize=8) is None
+    assert (tmp_path / "stoch.png").exists()
+    import pytest
+    with pytest.raises(ValueError):
+        viz.visualize_stoch_frame_figs(ctx, tgt, all_preds, titles=["one"])
+
+
+def test_segmentation_and_misc_helpers(tmp_path):
+    seg_idx = np.asarray([[0, 1], [2, 0]])
+    one_hot = viz.idx_to_one_hot(seg_idx)
+    assert one_hot.shape == (3, 2, 2)  # classes-first like the reference
+    assert one_hot[1, 0, 1] == 1 and one_hot[0, 0, 0] == 1
+
+    img = np.zeros((2, 2, 3))
+    # class 0 covers most pixels -> treated as background (seashell)
+    out = viz.overlay_segmentation(img, one_hot.astype(bool), alpha=1.0)
+    assert np.allclose(out[0, 0], [1.0, 0.961, 0.933], atol=1e-3)
+    assert not np.allclose(out[0, 1], out[0, 0])
+
+    cols = viz.get_random_colors(5, seed=0)
+    assert len(cols) == 5 and all(c.startswith("#") and len(c) == 7
+                                  for c in cols)
+
+    gif = str(tmp_path / "seq.gif")
+    viz.tensors_to_gif(np.random.RandomState(5).rand(3, 8, 8, 3), gif)
+    import imageio
+    assert len(imageio.mimread(gif)) == 3
+
+
 def test_latent_space_projection(tmp_path):
     rng = np.random.RandomState(2)
     codewords = rng.randn(4, 16)
