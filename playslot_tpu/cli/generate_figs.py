@@ -100,15 +100,16 @@ def figs_pred(argv=None):
 
     @jax.jit
     def fwd(savi_p, pred_v, videos, k1, k2):
-        slots = savi.apply({"params": savi_p}, videos, decode=False,
-                           rngs={"slots": k1})["slot_history"]
+        out = savi.apply({"params": savi_p}, videos, decode=True,
+                         rngs={"slots": k1})
         preds = predictor.apply(
-            pred_v, slots, num_samples=1, num_seed=args.num_seed,
+            pred_v, out["slot_history"], num_samples=1, num_seed=args.num_seed,
             num_preds=args.num_preds, use_posterior=True, rngs={"action": k2},
             method=lambda m, *a, **k: m.forward_multiple_samples(*a, **k))
         imgs, objs, masks = savi.apply({"params": savi_p}, preds[:, 0],
                                        method=lambda m, s: m.decode_fast(s))
-        return jnp.clip(imgs, 0, 1), objs, masks
+        return (jnp.clip(imgs, 0, 1), objs, masks,
+                out["recons_objs"], out["masks"])
 
     key = jax.random.PRNGKey(0)
     for i, batch in enumerate(loader):
@@ -116,16 +117,50 @@ def figs_pred(argv=None):
             break
         videos, _, _, _ = unwrap_batch_data(exp_params, batch)
         key, k1, k2 = jax.random.split(key, 3)
-        imgs, objs, masks = fwd(savi_vars["params"], pred_vars,
-                                jnp.asarray(videos), k1, k2)
+        imgs, objs, masks, rec_objs, rec_masks = fwd(
+            savi_vars["params"], pred_vars, jnp.asarray(videos), k1, k2)
+        seed = videos[0, :args.num_seed]
         target = videos[0, args.num_seed:args.num_seed + args.num_preds]
         seq_psnr = float(np.mean(np.asarray(psnr(imgs[0], jnp.asarray(target)))))
         seq_dir = os.path.join(out_root, f"seq_{i:03d}_psnr={seq_psnr:.2f}")
-        viz.visualize_recons(target, np.asarray(imgs[0]),
+        pred_imgs = np.asarray(imgs[0])
+        objs, masks = np.asarray(objs[0]), np.asarray(masks[0])
+        seed_objs = np.asarray(rec_objs[0, :args.num_seed])
+        seed_masks = np.asarray(rec_masks[0, :args.num_seed])
+
+        viz.visualize_recons(target, pred_imgs,
                              savepath=os.path.join(seq_dir, "preds.png"))
-        viz.make_gif(np.asarray(imgs[0]), os.path.join(seq_dir, "preds.gif"))
-        viz.visualize_decomp(np.asarray(objs[0]), masks=np.asarray(masks[0]),
+        viz.visualize_decomp(objs, masks=masks,
                              savepath=os.path.join(seq_dir, "decomp.png"))
+        # the reference's per-sequence artifact set
+        # (06_generate_figs_pred.py:153-232)
+        all_objs = np.concatenate([
+            np.stack([[viz.add_border(o, "green") for o in frame]
+                      for frame in seed_objs * seed_masks]),
+            np.stack([[viz.add_border(o, "red") for o in frame]
+                      for frame in objs * masks])], axis=0)
+        viz.visualize_aligned_slots(
+            all_objs, savepath=os.path.join(seq_dir, "aligned_slots.png"))
+        viz.visualize_qualitative_eval(
+            seed, target, pred_imgs,
+            savepath=os.path.join(seq_dir, "qual_eval_rgb.png"))
+        seg = np.asarray(segmentation_from_masks(
+            np.concatenate([seed_masks[None], masks[None]], axis=1)))[0]
+        gt_frames = np.concatenate([seed, target], axis=0)
+        pred_frames = np.concatenate([seed, pred_imgs], axis=0)
+        viz.make_gif(gt_frames, os.path.join(seq_dir, "gt_GIF_frames.gif"),
+                     n_seed=len(gt_frames), use_border=True)
+        viz.make_gif(pred_frames, os.path.join(seq_dir, "pred_GIF_frames.gif"),
+                     n_seed=args.num_seed, use_border=True)
+        viz.make_gif(viz.masks_to_rgb(seg),
+                     os.path.join(seq_dir, "masks_GIF_masks.gif"),
+                     n_seed=args.num_seed, use_border=True)
+        viz.make_gif(viz.overlay_segmentations(pred_frames, seg),
+                     os.path.join(seq_dir, "overlay_GIF.gif"),
+                     n_seed=args.num_seed, use_border=True)
+        for obj_id in range(all_objs.shape[1]):
+            viz.make_gif(all_objs[:, obj_id],
+                         os.path.join(seq_dir, f"obj_{obj_id + 1}.gif"))
         print_(f"saved prediction figures for seq {i} (psnr {seq_psnr:.2f})")
 
 

@@ -115,10 +115,18 @@ def overlay_segmentations(imgs, seg, alpha=0.6):
     return np.clip((1 - alpha) * imgs + alpha * rgb, 0, 1)
 
 
-def make_gif(frames, savepath, fps=8):
-    """(T, H, W, C) in [0,1] -> animated gif."""
+def make_gif(frames, savepath, fps=8, n_seed=None, use_border=False):
+    """(T, H, W, C) in [0,1] -> animated gif. With use_border, the first
+    n_seed frames get a green border and the rest a red one (the reference's
+    seed/prediction phase marking, visualizations.py:418-431)."""
     import imageio
-    frames = (np.clip(_to_numpy(frames), 0, 1) * 255).astype(np.uint8)
+    frames = np.clip(_to_numpy(frames), 0, 1)
+    if use_border:
+        n_seed = len(frames) if n_seed is None else n_seed
+        frames = np.stack([
+            add_border(f, "green" if i < n_seed else "red")
+            for i, f in enumerate(frames)])
+    frames = (frames * 255).astype(np.uint8)
     os.makedirs(os.path.dirname(savepath) or ".", exist_ok=True)
     imageio.mimsave(savepath, list(frames), duration=1000 / fps, loop=0)
 

@@ -96,6 +96,15 @@ def test_full_pipeline(tmp_path):
                "--num_seqs", "1", "--num_seed", "2", "--num_preds", "2"])
     plots = os.path.join(exp, "plots")
     assert any("figs" in d for d in os.listdir(plots))
+    # the reference's full per-sequence artifact set
+    # (src/06_generate_figs_pred.py:153-232)
+    pred_plots = os.path.join(exp, "predictors", "PlaySlot", "plots",
+                              "figs_pred")
+    seq_dir = os.path.join(pred_plots, sorted(os.listdir(pred_plots))[0])
+    produced = set(os.listdir(seq_dir))
+    assert {"aligned_slots.png", "qual_eval_rgb.png", "gt_GIF_frames.gif",
+            "pred_GIF_frames.gif", "masks_GIF_masks.gif", "overlay_GIF.gif",
+            "obj_1.gif", "preds.png", "decomp.png"} <= produced
 
     # --- 10: behavior learning (GridShapes actions as pseudo-demos)
     beh_path = os.path.join(pred_path, "behaviors", "Policy")
