@@ -8,9 +8,14 @@ policy -> latent action -> (prototype + variability) -> action decoder ->
 robot action, plus one imagination step of the dynamics model to advance the
 slot state; the simulator executes the action with its ACTION_REPEAT.
 
-TPU design: the whole device-side control step is ONE jitted function
-(slots window -> action + next slots) — the reference makes ~6 separate
-module calls per step (SURVEY.md §3.4).
+TPU design: two levels of batching beyond the reference.
+  1. The whole device-side control step is ONE jitted function
+     (slots window -> action + next slots) — the reference makes ~6 separate
+     module calls per step (SURVEY.md §3.4).
+  2. ALL episodes run in lockstep: one device call advances every sim's
+     policy at once (physics stays host-side per sim). The reference steps
+     episodes serially; on a relayed TPU backend the per-call round trip
+     dominates, so lockstep batching cuts eval wall-clock by ~num_sims x.
 """
 
 import json
@@ -76,35 +81,40 @@ class SimulationEvaluator:
 
     # --------------------------------------------------------------- jitted
     def _build_steps(self):
+        """All device functions are batched over episodes (leading axis N)."""
         savi, policy = self.savi, self.policy
         savi_params, policy_params = self.savi_params, self.policy_params
 
         @jax.jit
-        def encode_first(img):
-            out = savi.apply({"params": savi_params["params"]}, img[None, None],
-                             decode=False, rngs={"slots": jax.random.PRNGKey(0)})
-            return out["slot_history"][:, 0]  # (1, S, D)
+        def encode_first(imgs):
+            """imgs (N, H, W, C) -> slots (N, S, D)."""
+            out = savi.apply({"params": savi_params["params"]},
+                             imgs[:, None], decode=False,
+                             rngs={"slots": jax.random.PRNGKey(0)})
+            return out["slot_history"][:, 0]
 
         self._encode_first = encode_first
 
         @jax.jit
-        def encode_next(img, prev_slots):
-            """Incremental SAVi recurrence on an observed frame: the slot
-            state evolves exactly as during training (transition + correct),
-            instead of re-encoding isolated first frames."""
+        def encode_next(imgs, prev_slots):
+            """Incremental SAVi recurrence on observed frames (N episodes at
+            once): the slot state evolves exactly as during training
+            (transition + correct), instead of re-encoding isolated first
+            frames. imgs (N, H, W, C), prev_slots (N, S, D)."""
             def fwd(m, im, prev):
-                feats = m.encode(im[None])
+                feats = m.encode(im)
                 pred = m.predict_next(prev)
                 slots, _ = m.correct(feats, pred, first=False)
                 return slots
             return savi.apply({"params": savi_params["params"]},
-                              img, prev_slots, method=fwd)
+                              imgs, prev_slots, method=fwd)
 
         self._encode_next = encode_next
 
         if self.oracle:
             @jax.jit
             def control_step(slots_window):
+                """(N, L, S, D) -> actions (N, A)."""
                 return policy.apply({"params": policy_params},
                                     slots_window[:, -1:])[:, -1]
 
@@ -118,26 +128,27 @@ class SimulationEvaluator:
         @jax.jit
         def control_step(slots_window, protos_hist, vars_hist):
             """
-            slots_window: (1, L, S, D) slot history (L <= context_length).
-            protos_hist/vars_hist: (1, L-1, A) latent-action HISTORY — each
+            slots_window: (N, L, S, D) slot history (L <= context_length)
+                for N lockstep episodes.
+            protos_hist/vars_hist: (N, L-1, A) latent-action HISTORY — each
                 past frame is conditioned with its own action, exactly like
                 the reference's action_protos_hist accumulation
                 (11_evaluate_behavior_on_simulation.py:151-175); the current
                 step's action is appended here.
 
-            Returns (robot_action (A,), next_slots (1, S, D),
-                     protos_hist (1, L, A), vars_hist (1, L, A)).
+            Returns (robot_actions (N, A), next_slots (N, S, D),
+                     protos_hist (N, L, A), vars_hist (N, L, A)).
             """
             cur = slots_window[:, -1:]
-            latent = policy.apply({"params": policy_params}, cur)[:, -1]  # (1, A)
+            latent = policy.apply({"params": policy_params}, cur)[:, -1]  # (N, A)
             protos, variability = predictor.apply(
                 pred_variables, latent,
                 method=lambda m, z: m.latent_action.decompose_action_latent(z))
-            robot_action = action_decoder.apply(
-                {"params": decoder_params}, latent)[0]
+            robot_actions = action_decoder.apply(
+                {"params": decoder_params}, latent)
 
             protos_hist = jnp.concatenate(
-                [protos_hist, protos[:, None]], axis=1)          # (1, L, A)
+                [protos_hist, protos[:, None]], axis=1)          # (N, L, A)
             vars_hist = jnp.concatenate(
                 [vars_hist, variability[:, None]], axis=1)
             proto_seq = jnp.tile(protos_hist[:, :, None, :], (1, 1, num_slots, 1))
@@ -149,67 +160,88 @@ class SimulationEvaluator:
                 method=lambda m, s, p, v: m.dynamics_model.forward_single(
                     s, p, action_vars=v))
             next_slots = pred_slots[:, -1]
-            return robot_action, next_slots, protos_hist, vars_hist
+            return robot_actions, next_slots, protos_hist, vars_hist
 
         self._control_step = control_step
 
     # ----------------------------------------------------------------- loop
     def evaluate(self, save_visualizations=0):
-        """save_visualizations: save side-by-side sim/imagination GIFs for
-        the first N episodes (reference saves the same reps,
-        11_evaluate_behavior:192-198)."""
-        successes, episodes = [], []
+        """Run all num_sims episodes in lockstep (one device call per control
+        step for the whole batch). save_visualizations: save side-by-side
+        sim/imagination GIFs for the first N episodes (reference saves the
+        same reps, 11_evaluate_behavior:192-198)."""
+        N = self.num_sims
         img_size = self.exp_params["dataset"].get("img_size", (64, 64))
         if isinstance(img_size, int):
             img_size = (img_size, img_size)
         action_dim = getattr(self, "action_dim", 0)
-        for ep in range(self.num_sims):
-            sim = setup_simulation(self.sim_name, seed=self.seed + ep,
-                                   img_size=tuple(img_size))
-            img = sim.init_seq()
-            slots = np.asarray(self._encode_first(jnp.asarray(img)))  # (1, S, D)
-            window = [slots]
-            # latent-action history, one entry per frame in the window
-            # (reference action_protos_hist, 11_evaluate_behavior:151-158)
-            protos_hist = np.zeros((1, 0, action_dim), np.float32)
-            vars_hist = np.zeros((1, 0, action_dim), np.float32)
-            done, succ = False, False
-            steps = 0
-            sim_frames = [img]
-            all_slots = [slots]
-            while not done and steps < self.max_num_steps:
-                w = jnp.asarray(np.stack(window, axis=1))  # (1, L, S, D)
-                if self.oracle:
-                    action = np.asarray(self._control_step_oracle(w))[0]
-                    next_slots = slots  # oracle re-encodes each frame
-                else:
-                    action, next_slots, ph, vh = self._control_step(
-                        w, jnp.asarray(protos_hist), jnp.asarray(vars_hist))
-                    action = np.asarray(action) * self.action_scale
-                    next_slots = np.asarray(next_slots)
-                    protos_hist, vars_hist = np.asarray(ph), np.asarray(vh)
-                img, done = sim.update(action)
-                if self.oracle or self.ground_with_obs:
-                    next_slots = np.asarray(self._encode_next(
-                        jnp.asarray(img), jnp.asarray(window[-1])))
-                window.append(next_slots)
-                all_slots.append(next_slots)
-                if len(window) > self.context_length:
-                    window = window[-self.context_length:]
-                    protos_hist = protos_hist[:, -(self.context_length - 1):]
-                    vars_hist = vars_hist[:, -(self.context_length - 1):]
-                succ = sim.success()
-                steps += 1
-                sim_frames.append(img)
-            sim.close()
+
+        sims = [setup_simulation(self.sim_name, seed=self.seed + ep,
+                                 img_size=tuple(img_size)) for ep in range(N)]
+        imgs = np.stack([sim.init_seq() for sim in sims])          # (N, H, W, C)
+        slots = np.asarray(self._encode_first(jnp.asarray(imgs)))  # (N, S, D)
+        window = [slots]
+        # latent-action history, one entry per frame in the window
+        # (reference action_protos_hist, 11_evaluate_behavior:151-158)
+        protos_hist = np.zeros((N, 0, action_dim), np.float32)
+        vars_hist = np.zeros((N, 0, action_dim), np.float32)
+
+        active = np.ones(N, bool)
+        succ = np.zeros(N, bool)
+        steps_done = np.full(N, self.max_num_steps, np.int32)
+        sim_frames = [[imgs[ep]] for ep in range(N)]
+        all_slots = [[slots[ep:ep + 1]] for ep in range(N)]
+
+        for step in range(self.max_num_steps):
+            if not active.any():
+                break
+            w = jnp.asarray(np.stack(window, axis=1))  # (N, L, S, D)
+            if self.oracle:
+                actions = np.asarray(self._control_step_oracle(w))
+                next_slots = np.asarray(w[:, -1])  # oracle re-encodes below
+            else:
+                actions, next_slots, ph, vh = self._control_step(
+                    w, jnp.asarray(protos_hist), jnp.asarray(vars_hist))
+                actions = np.asarray(actions) * self.action_scale
+                next_slots = np.asarray(next_slots)
+                protos_hist, vars_hist = np.asarray(ph), np.asarray(vh)
+
+            for ep in range(N):
+                if not active[ep]:
+                    continue
+                img, done = sims[ep].update(actions[ep])
+                imgs[ep] = img
+                sim_frames[ep].append(img)
+                if sims[ep].success():
+                    succ[ep] = True
+                if done or sims[ep].success():
+                    active[ep] = False
+                    steps_done[ep] = step + 1
+
+            if self.oracle or self.ground_with_obs:
+                next_slots = np.asarray(self._encode_next(
+                    jnp.asarray(imgs), jnp.asarray(window[-1])))
+            for ep in range(N):
+                all_slots[ep].append(next_slots[ep:ep + 1])
+            window.append(next_slots)
+            if len(window) > self.context_length:
+                window = window[-self.context_length:]
+                protos_hist = protos_hist[:, -(self.context_length - 1):]
+                vars_hist = vars_hist[:, -(self.context_length - 1):]
+
+        episodes = []
+        for ep in range(N):
+            sims[ep].close()
             if ep < save_visualizations:
-                self._save_episode_gif(ep, sim_frames, all_slots, succ)
-            successes.append(bool(succ))
-            episodes.append({"episode": ep, "success": bool(succ), "steps": steps})
-            print_(f"  episode {ep}: success={succ} steps={steps}")
+                self._save_episode_gif(ep, sim_frames[ep], all_slots[ep],
+                                       bool(succ[ep]))
+            episodes.append({"episode": ep, "success": bool(succ[ep]),
+                             "steps": int(steps_done[ep])})
+            print_(f"  episode {ep}: success={bool(succ[ep])} "
+                   f"steps={int(steps_done[ep])}")
 
         results = {
-            "success_rate": float(np.mean(successes)),
+            "success_rate": float(np.mean(succ)),
             "num_sims": self.num_sims,
             "episodes": episodes,
         }
@@ -220,7 +252,6 @@ class SimulationEvaluator:
             json.dump(results, f, indent=4)
         print_(f"Success rate: {results['success_rate']:.2f}")
         return results
-
 
     def _save_episode_gif(self, ep, sim_frames, window, succ):
         """Side-by-side GIF: simulator frames | decoded imagined slots."""
