@@ -188,19 +188,39 @@ _GREEN = jnp.asarray(np.array(COLORS["green"], np.float32) / 255.0)
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "num_frames", "img_size",
-                                             "shape_size", "policy"))
+                                             "shape_size", "policy",
+                                             "target_walk"))
 def generate_scene_batch(key, batch=32, num_frames=16, img_size=64,
-                         shape_size=None, policy="expert"):
+                         shape_size=None, policy="expert", target_walk=0.0):
     """
-    The agent/target goal-reaching scene (red ball agent, static green square
+    The agent/target goal-reaching scene (red ball agent, green square
     target), generated on device.
 
     policy="expert": greedy goal-directed moves (behavior-cloning demos,
         matching data/gridshapes.py::GridShapesExpertDemos and GridShapesSim).
+        When the agent reaches the target, the target RESPAWNS at a fresh
+        random cell, so the demo action distribution is stationary in time.
+        Without the respawn, demos end parked on the goal and a policy
+        trained on recurrently-encoded slots learns the shortcut "deep in
+        the slot recurrence => output ~0" (the slot state implicitly encodes
+        time-in-sequence); in closed-loop control — which runs far past the
+        demo length — that collapses the decoded actions to zero (measured:
+        per-frame action-MSE 0.35 -> 0.01 across demo frames, closed-loop
+        actions decaying to ~0.05 by step 6).
     policy="random": random grid moves — the EXPLORATION distribution used to
         train SAVi + PlaySlot so that transitions are stochastic and the
         latent actions must carry the move information (mirrors the
         reference's random-exploration BlockPush vs Expert_BlockPush split).
+
+    target_walk: per-frame probability that the TARGET takes a random grid
+        move. SAVi's slot decomposition binds objects through motion cues; a
+        never-moving target gets absorbed into the background slot (measured
+        on seed0: background slot owned 86% of target pixels, target-position
+        probe R^2 0.4 vs agent 1.0), which starves downstream control of the
+        goal location. A small walk probability in the SAVi training scene
+        restores the motion cue; the closed-loop simulator keeps its target
+        static (a static object is in-distribution at inference — binding,
+        once learned, does not require motion).
 
     Returns videos (B,T,R,R,3), actions (B,T,2) continuous in [-1,1],
     masks (B,T,R,R) with agent=1 target=2.
@@ -215,7 +235,7 @@ def generate_scene_batch(key, batch=32, num_frames=16, img_size=64,
     xx = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     h = sz // 2
 
-    def render(agent):
+    def render(agent, target):
         ty = yy[None] - target[:, 0][:, None, None]
         tx = xx[None] - target[:, 1][:, None, None]
         tmask = (ty >= 0) & (ty < sz) & (tx >= 0) & (tx < sz)
@@ -230,14 +250,14 @@ def generate_scene_batch(key, batch=32, num_frames=16, img_size=64,
         seg = jnp.where(amask, 1, seg)
         return frame, seg
 
-    def expert_move(agent, _):
+    def expert_move(agent, target, _):
         dist = target - agent
         use_y = jnp.abs(dist[:, 0]) >= jnp.abs(dist[:, 1])
         step_y = jnp.clip(dist[:, 0], -SPEED, SPEED) * use_y
         step_x = jnp.clip(dist[:, 1], -SPEED, SPEED) * (~use_y)
         return jnp.stack([step_y, step_x], axis=-1).astype(jnp.int32)
 
-    def random_move(agent, k):
+    def random_move(agent, target, k):
         r = jax.random.uniform(k, (B,))
         sy = jnp.where(r < 0.2, SPEED, 0) + jnp.where((r >= 0.2) & (r < 0.4),
                                                       -SPEED, 0)
@@ -245,15 +265,32 @@ def generate_scene_batch(key, batch=32, num_frames=16, img_size=64,
             + jnp.where((r >= 0.6) & (r < 0.8), -SPEED, 0)
         return jnp.stack([sy, sx], axis=-1).astype(jnp.int32)
 
-    def step(agent, k):
-        frame, seg = render(agent)
-        move = expert_move(agent, k) if policy == "expert" else random_move(agent, k)
+    move_fn = expert_move if policy == "expert" else random_move
+
+    def step(carry, k):
+        agent, target = carry
+        if policy == "expert":
+            # stationary demos: respawn the target once reached (same
+            # max-norm success radius as GridShapesSim.update)
+            reached = jnp.abs(agent - target).max(axis=-1) < sz // 2
+            fresh = jax.random.randint(jax.random.fold_in(k, 1), (B, 2),
+                                       0, R - sz).astype(jnp.int32)
+            target = jnp.where(reached[:, None], fresh, target)
+        if target_walk > 0:
+            kw = jax.random.fold_in(k, 2)
+            tmove = random_move(target, target, kw)
+            walk = jax.random.uniform(jax.random.fold_in(k, 3),
+                                      (B,)) < target_walk
+            target = jnp.where(walk[:, None],
+                               jnp.clip(target + tmove, 0, R - sz), target)
+        frame, seg = render(agent, target)
+        move = move_fn(agent, target, k)
         action = move.astype(jnp.float32) / SPEED
         nxt = jnp.clip(agent + move, 0, R - sz)
-        return nxt, (frame, seg, action)
+        return (nxt, target), (frame, seg, action)
 
     keys = jax.random.split(k_p, T)
-    _, (frames, segs, acts) = jax.lax.scan(step, agent, keys)
+    _, (frames, segs, acts) = jax.lax.scan(step, (agent, target), keys)
     return {
         "videos": jnp.moveaxis(frames, 0, 1),
         "masks": jnp.moveaxis(segs, 0, 1),
@@ -272,10 +309,11 @@ class GridShapesExpertOnDevice(GridShapesOnDevice):
 
     def __init__(self, split="train", num_frames=16, img_size=64,
                  shape_size=None, seed=13, length=None, num_expert_demos=-1,
-                 **kwargs):
+                 target_walk=0.0, **kwargs):
         super().__init__(split=split, num_frames=num_frames, img_size=img_size,
                          seed=seed, length=length, **kwargs)
         self.shape_size = shape_size
+        self.target_walk = float(target_walk)
         if length is None:
             self._length = 2048 if split == "train" else 256
 
@@ -287,7 +325,8 @@ class GridShapesExpertOnDevice(GridShapesOnDevice):
             out = generate_scene_batch(
                 jax.random.fold_in(key, i), batch=batch_size,
                 num_frames=self.num_frames, img_size=self.img_size,
-                shape_size=self.shape_size, policy=self.POLICY)
+                shape_size=self.shape_size, policy=self.POLICY,
+                target_walk=self.target_walk)
             yield out["videos"], out["videos"], {
                 "actions": out["actions"], "masks": out["masks"]}
 

@@ -81,17 +81,24 @@ class SimulationEvaluator:
 
     # --------------------------------------------------------------- jitted
     def _build_steps(self):
-        """All device functions are batched over episodes (leading axis N)."""
+        """All device functions are batched over episodes (leading axis N).
+
+        Matmuls run at "highest" precision: closed-loop control composes
+        ~max_num_steps model applications, and the default bf16-class TPU
+        matmul precision measurably flips marginal rounding decisions in the
+        decoded actions (round-1 ledger: grounded success 0.13 on CPU f32 vs
+        0.00 with default TPU precision on the same checkpoint)."""
         savi, policy = self.savi, self.policy
         savi_params, policy_params = self.savi_params, self.policy_params
 
         @jax.jit
         def encode_first(imgs):
             """imgs (N, H, W, C) -> slots (N, S, D)."""
-            out = savi.apply({"params": savi_params["params"]},
-                             imgs[:, None], decode=False,
-                             rngs={"slots": jax.random.PRNGKey(0)})
-            return out["slot_history"][:, 0]
+            with jax.default_matmul_precision("highest"):
+                out = savi.apply({"params": savi_params["params"]},
+                                 imgs[:, None], decode=False,
+                                 rngs={"slots": jax.random.PRNGKey(0)})
+                return out["slot_history"][:, 0]
 
         self._encode_first = encode_first
 
@@ -106,8 +113,9 @@ class SimulationEvaluator:
                 pred = m.predict_next(prev)
                 slots, _ = m.correct(feats, pred, first=False)
                 return slots
-            return savi.apply({"params": savi_params["params"]},
-                              imgs, prev_slots, method=fwd)
+            with jax.default_matmul_precision("highest"):
+                return savi.apply({"params": savi_params["params"]},
+                                  imgs, prev_slots, method=fwd)
 
         self._encode_next = encode_next
 
@@ -115,8 +123,9 @@ class SimulationEvaluator:
             @jax.jit
             def control_step(slots_window):
                 """(N, L, S, D) -> actions (N, A)."""
-                return policy.apply({"params": policy_params},
-                                    slots_window[:, -1:])[:, -1]
+                with jax.default_matmul_precision("highest"):
+                    return policy.apply({"params": policy_params},
+                                        slots_window[:, -1:])[:, -1]
 
             self._control_step_oracle = control_step
             return
@@ -139,28 +148,31 @@ class SimulationEvaluator:
             Returns (robot_actions (N, A), next_slots (N, S, D),
                      protos_hist (N, L, A), vars_hist (N, L, A)).
             """
-            cur = slots_window[:, -1:]
-            latent = policy.apply({"params": policy_params}, cur)[:, -1]  # (N, A)
-            protos, variability = predictor.apply(
-                pred_variables, latent,
-                method=lambda m, z: m.latent_action.decompose_action_latent(z))
-            robot_actions = action_decoder.apply(
-                {"params": decoder_params}, latent)
+            with jax.default_matmul_precision("highest"):
+                cur = slots_window[:, -1:]
+                latent = policy.apply({"params": policy_params}, cur)[:, -1]
+                protos, variability = predictor.apply(
+                    pred_variables, latent,
+                    method=lambda m, z: m.latent_action.decompose_action_latent(z))
+                robot_actions = action_decoder.apply(
+                    {"params": decoder_params}, latent)
 
-            protos_hist = jnp.concatenate(
-                [protos_hist, protos[:, None]], axis=1)          # (N, L, A)
-            vars_hist = jnp.concatenate(
-                [vars_hist, variability[:, None]], axis=1)
-            proto_seq = jnp.tile(protos_hist[:, :, None, :], (1, 1, num_slots, 1))
-            var_seq = jnp.tile(vars_hist[:, :, None, :], (1, 1, num_slots, 1))
-            use_var = getattr(predictor, "use_variability", False)
-            pred_slots = predictor.apply(
-                pred_variables, slots_window, proto_seq,
-                var_seq if use_var else None,
-                method=lambda m, s, p, v: m.dynamics_model.forward_single(
-                    s, p, action_vars=v))
-            next_slots = pred_slots[:, -1]
-            return robot_actions, next_slots, protos_hist, vars_hist
+                protos_hist = jnp.concatenate(
+                    [protos_hist, protos[:, None]], axis=1)      # (N, L, A)
+                vars_hist = jnp.concatenate(
+                    [vars_hist, variability[:, None]], axis=1)
+                proto_seq = jnp.tile(protos_hist[:, :, None, :],
+                                     (1, 1, num_slots, 1))
+                var_seq = jnp.tile(vars_hist[:, :, None, :],
+                                   (1, 1, num_slots, 1))
+                use_var = getattr(predictor, "use_variability", False)
+                pred_slots = predictor.apply(
+                    pred_variables, slots_window, proto_seq,
+                    var_seq if use_var else None,
+                    method=lambda m, s, p, v: m.dynamics_model.forward_single(
+                        s, p, action_vars=v))
+                next_slots = pred_slots[:, -1]
+                return robot_actions, next_slots, protos_hist, vars_hist
 
         self._control_step = control_step
 

@@ -45,8 +45,10 @@ EXP_ROOT = os.environ.get("PLAYSLOT_STUDY_EXP", "experiments/GridShapesStudy")
 SEEDS = [int(s) for s in os.environ.get("PLAYSLOT_STUDY_SEEDS", "0 1 2").split()]
 IMG = int(os.environ.get("PLAYSLOT_STUDY_IMG", "64"))
 NUM_SLOTS = int(os.environ.get("PLAYSLOT_STUDY_SLOTS", "4"))
-EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_EPOCHS", "10"))
-ITERS = int(os.environ.get("PLAYSLOT_STUDY_ITERS", "400"))
+EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_EPOCHS", "20"))
+ITERS = int(os.environ.get("PLAYSLOT_STUDY_ITERS", "500"))
+# policy/decoder heads are tiny and converge far sooner than SAVi/predictor
+BC_EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_BC_EPOCHS", "8"))
 NUM_SIMS = int(os.environ.get("PLAYSLOT_STUDY_SIMS", "30"))
 MAX_STEPS = int(os.environ.get("PLAYSLOT_STUDY_MAX_STEPS", "60"))
 BATCH = int(os.environ.get("PLAYSLOT_STUDY_BATCH", "16"))
@@ -116,7 +118,11 @@ def run_seed(seed):
     cfg["model"] = {"model_name": "SAVi", "model_params": savi_cfg()}
     cfg["dataset"].update({
         "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
-        "img_size": IMG, "length": ITERS * BATCH, "seed": seed})
+        "img_size": IMG, "length": ITERS * BATCH, "seed": seed,
+        # motion cue so slot attention binds the (otherwise static) target
+        # instead of folding it into the background slot — see
+        # generate_scene_batch docstring
+        "target_walk": 0.2})
     cfg["training"].update({
         "num_epochs": EPOCHS, "batch_size": BATCH,
         "train_iters_per_epoch": ITERS, "valid_iters_per_epoch": 8,
@@ -151,6 +157,8 @@ def run_seed(seed):
     otr = OracleTrainer(orc_path)
     otr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
     otr.exp_params["dataset"]["num_frames"] = 16
+    otr.exp_params["training"]["num_epochs"] = BC_EPOCHS
+    otr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * ITERS
     otr.load_data()
     otr.load_models(savi_params=tr.state.params)
     otr.setup_behavior_models()
@@ -170,6 +178,10 @@ def run_seed(seed):
     pred_path = os.path.join(exp, "predictors", "PlaySlot")
     os.makedirs(pred_path, exist_ok=True)
     pcfg = Config.load(exp)
+    # keep the latent-action space clean of unpredictable target jumps:
+    # InvDyn sees the future, so a walking target would get encoded into
+    # the action latents and waste VQ prototypes
+    pcfg["dataset"]["target_walk"] = 0.0
     pcfg["predictor"] = copy.deepcopy(PRED_CFG)
     pcfg["predictor_loss"] = copy.deepcopy(DEFAULTS["predictor_loss"])
     pcfg["prediction_params"] = {"num_context": 3, "num_preds": 5,
@@ -202,6 +214,8 @@ def run_seed(seed):
     btr = BehaviorTrainer(beh_path)
     btr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
     btr.exp_params["dataset"]["num_frames"] = 16
+    btr.exp_params["training"]["num_epochs"] = BC_EPOCHS
+    btr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * ITERS
     btr.load_data()
     btr.load_models(savi_params=tr.state.params,
                     predictor_variables={"params": ptr.state.params,
