@@ -24,9 +24,12 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_slots, scale):
     v = v_ref[0]
     T = q.shape[0]
 
+    # precision pinned: ambient "highest" contexts request fp32 contract
+    # precision, which Mosaic rejects on bf16 operands ("Bad lhs type")
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale        # (T, T)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale       # (T, T)
 
     frame_q = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) // num_slots
     frame_k = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) // num_slots
@@ -37,7 +40,8 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, num_slots, scale):
     attn = e / jnp.sum(e, axis=1, keepdims=True)
     out = jax.lax.dot_general(
         attn.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
     o_ref[0] = out.astype(o_ref.dtype)
 
 

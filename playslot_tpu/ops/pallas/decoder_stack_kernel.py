@@ -51,7 +51,8 @@ def _kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref, o_ref, pad_ref, *, H, W, C,
                 acc += jax.lax.dot_general(
                     patch.reshape(H * W, C), w[ky, kx],
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
         return acc
 
     for l in range(L):  # static: hidden 5x5 conv + ReLU layers

@@ -43,7 +43,8 @@ def _kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref, o_ref, pad_ref, cols_ref, *,
             acc += jax.lax.dot_general(
                 cols_ref[:, :, :taps * C].reshape(H * W, taps * C), w_rows[ky],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         return acc
 
     for l in range(L):

@@ -50,7 +50,8 @@ def _kernel(x_ref, w_ref, b_ref, wf_ref, bf_ref, o_ref, pad_a, pad_b, cols_ref,
                 cols_ref[:, :, :taps * C].reshape(strip * W, taps * C),
                 w_rows[ky],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
         return acc
 
     # strips iterate via fori_loop so Mosaic compiles ONE strip body per

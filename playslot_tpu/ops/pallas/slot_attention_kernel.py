@@ -21,9 +21,13 @@ def _kernel(q_ref, k_ref, v_ref, upd_ref, attn_ref, *, epsilon):
     v = v_ref[0]                               # (N, D)
     scale = q.shape[-1] ** -0.5
 
+    # precision pinned: an ambient jax.default_matmul_precision("highest")
+    # context would otherwise request fp32 contract precision on bf16
+    # operands, which Mosaic rejects ("Bad lhs type")
     dots = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale      # (S, N)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT) * scale     # (S, N)
 
     # softmax over the SLOT axis (competition), per location
     m = jnp.max(dots, axis=0, keepdims=True)
@@ -34,7 +38,8 @@ def _kernel(q_ref, k_ref, v_ref, upd_ref, attn_ref, *, epsilon):
     attn_n = attn / jnp.sum(attn, axis=1, keepdims=True)
     upd = jax.lax.dot_general(
         attn_n.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
     upd_ref[0] = upd.astype(upd_ref.dtype)
     attn_ref[0] = attn.astype(attn_ref.dtype)

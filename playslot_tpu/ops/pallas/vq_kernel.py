@@ -21,7 +21,8 @@ def _kernel(z_ref, cb_ref, zq_ref, idx_ref):
     z2 = jnp.sum(z * z, axis=1, keepdims=True)
     c2 = jnp.sum(cb * cb, axis=1, keepdims=True)
     zc = jax.lax.dot_general(z, cb, dimension_numbers=(((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
     dist = z2 - 2.0 * zc + c2.T               # (M, N)
 
     idx = jnp.argmin(dist, axis=1)
@@ -29,7 +30,8 @@ def _kernel(z_ref, cb_ref, zq_ref, idx_ref):
               == idx[:, None]).astype(jnp.float32)
     zq = jax.lax.dot_general(onehot, cb,
                              dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.DEFAULT)
     zq_ref[...] = zq.astype(zq_ref.dtype)
     idx_ref[...] = idx.astype(jnp.int32)[:, None]
 

@@ -128,3 +128,27 @@ def test_decoder_stack_kernel_v3_parity():
         out = decoder_stack_pallas_v3(x, ws, bs, wf, bf, strip=strip,
                                       interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_kernels_bf16_under_highest_precision_context():
+    """An ambient jax.default_matmul_precision("highest") must not poison
+    in-kernel dots: Mosaic rejects fp32 contract precision on bf16 operands
+    ("Bad lhs type") — every kernel pins Precision.DEFAULT internally.
+    Interpret mode checks the math is unchanged under the context; the
+    compile-path regression is covered by any bf16 model eval on hardware."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from playslot_tpu.ops.pallas.slot_attention_kernel import (
+        slot_attention_iteration_pallas)
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (2, 4, 32), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (2, 64, 32), jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (2, 64, 32), jnp.bfloat16)
+    upd0, attn0 = slot_attention_iteration_pallas(q, k, v, interpret=True)
+    with jax.default_matmul_precision("highest"):
+        upd1, attn1 = slot_attention_iteration_pallas(q, k, v, interpret=True)
+    np.testing.assert_array_equal(np.asarray(upd0, np.float32),
+                                  np.asarray(upd1, np.float32))
+    np.testing.assert_array_equal(np.asarray(attn0), np.asarray(attn1))
