@@ -54,11 +54,15 @@ MAX_STEPS = int(os.environ.get("PLAYSLOT_STUDY_MAX_STEPS", "60"))
 BATCH = int(os.environ.get("PLAYSLOT_STUDY_BATCH", "16"))
 STAGES = os.environ.get("PLAYSLOT_STUDY_STAGES", "full")  # full | savi_oracle
 # SAVi slot decomposition is init-sensitive at toy scale (round-1/2 measured
-# mIoU 0.18-0.65 across otherwise-identical runs). Standard model selection:
-# train up to k candidates per seed, keep the best validation mIoU; the
-# attempt count and every candidate's mIoU are reported in STUDY_RESULTS.
+# mIoU 0.12-0.65 across otherwise-identical runs), and mIoU alone is NOT the
+# right bar: a run can score mIoU 0.65 while the static target is still
+# folded into the background slot (position unreadable -> control-blind).
+# Standard model selection: train up to k candidates per seed, score each
+# with the slot-binding probe (tools/probe_slot_binding.py), keep the best
+# target-binding; every candidate's scores are reported in STUDY_RESULTS.
 SAVI_ATTEMPTS = int(os.environ.get("PLAYSLOT_STUDY_SAVI_ATTEMPTS", "3"))
-SAVI_MIOU_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIOU_BAR", "0.6"))
+SAVI_TARGET_R2_BAR = float(
+    os.environ.get("PLAYSLOT_STUDY_SAVI_TARGET_R2_BAR", "0.9"))
 
 
 def log(m):
@@ -138,7 +142,19 @@ def run_seed(seed):
     cfg.save()
 
     # ---------------------------------------------------------- 1: SAVi
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from probe_slot_binding import collect, ownership, position_probe
+
+    def binding_score(tr, savi_f32):
+        """(dedicated_target_frac, target probe R^2) on the f32 module."""
+        X, assign, gt = collect(savi_f32, tr.state.params, batches=4,
+                                img_size=IMG, target_walk=0.0)
+        _, dedicated = ownership(assign, gt, NUM_SLOTS)
+        r2 = position_probe(X, gt, IMG)
+        return float(dedicated), float(min(r2[2], r2[3])), [float(v) for v in r2]
+
     log(f"[seed {seed}] stage 1: SAVi ({IMG}px, {NUM_SLOTS} slots)...")
+    from playslot_tpu.models.factory import setup_model
     best = None
     attempts = []
     for attempt in range(SAVI_ATTEMPTS):
@@ -154,18 +170,26 @@ def run_seed(seed):
                                  ).evaluate(max_batches=2)
         miou = float(savi_res.get("miou", {}).get("mean", -1))
         psnr = float(savi_res["psnr"]["mean"])
-        attempts.append(round(miou, 3))
+        savi_f32 = setup_model(cfg["model"])  # probe at f32
+        dedicated, tgt_r2, r2 = binding_score(tr, savi_f32)
+        attempts.append({"miou": round(miou, 3), "psnr": round(psnr, 2),
+                         "dedicated_target": round(dedicated, 3),
+                         "probe_r2": [round(v, 3) for v in r2]})
         log(f"[seed {seed}] SAVi attempt {attempt}: psnr={psnr:.2f} "
-            f"miou={miou:.3f}")
-        if best is None or miou > best[0]:
-            best = (miou, psnr, tr)
-        if miou >= SAVI_MIOU_BAR:
+            f"miou={miou:.3f} dedicated_target={dedicated:.2f} "
+            f"target_r2={tgt_r2:.3f}")
+        score = (dedicated, tgt_r2)
+        if best is None or score > best[0]:
+            best = (score, miou, psnr, tr)
+        if tgt_r2 >= SAVI_TARGET_R2_BAR and dedicated >= 0.5:
             break
-    out["savi_miou"], out["savi_psnr"], tr = best[0], best[1], best[2]
-    out["savi_attempt_mious"] = attempts
+    (out["savi_dedicated_target"], out["savi_target_r2"]), \
+        out["savi_miou"], out["savi_psnr"], tr = best
+    out["savi_attempts"] = attempts
     tr.save("checkpoint_epoch_final")  # disk ckpt = the selected candidate
     log(f"[seed {seed}] SAVi selected: psnr={out['savi_psnr']:.2f} "
-        f"miou={out['savi_miou']:.3f} (attempts {attempts})")
+        f"miou={out['savi_miou']:.3f} "
+        f"dedicated_target={out['savi_dedicated_target']:.2f}")
 
     # ---------------------------------------------------------- 2: oracle
     orc_path = os.path.join(exp, "oracle", "Oracle")
@@ -290,7 +314,8 @@ def main():
                    "max_steps": MAX_STEPS, "seeds": SEEDS},
         "per_seed": per_seed,
         "aggregate": {k: agg(k) for k in (
-            "savi_psnr", "savi_miou", "oracle_success",
+            "savi_psnr", "savi_miou", "savi_dedicated_target",
+            "savi_target_r2", "oracle_success",
             "policy_success_grounded", "policy_success_imagination")},
         "device": str(jax.devices()[0]),
     }
