@@ -184,7 +184,12 @@ class DeviceBatchIterator:
 # ---------------------------------------------------------------------------
 
 _RED = jnp.asarray(np.array(COLORS["red"], np.float32) / 255.0)
-_GREEN = jnp.asarray(np.array(COLORS["green"], np.float32) / 255.0)
+# full-brightness green: CSS "green" is (0,128,0) — at half the agent's
+# contrast against the black background, slot attention systematically
+# absorbed the target into the background slot while the full-contrast red
+# agent bound reliably (sweep evidence in STATUS.md); the scene uses equal
+# salience for both entities. GridShapesSim renders the same color.
+_GREEN = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "num_frames", "img_size",

@@ -141,7 +141,9 @@ class GridShapesSim(BaseSim):
         self._occ = _make_shape("square", shape_size).astype(bool)
         self._agent_occ = _make_shape("ball", shape_size).astype(bool)
         self._agent_color = np.array(COLORS["red"], np.float32) / 255
-        self._target_color = np.array(COLORS["green"], np.float32) / 255
+        # full-brightness green, matching gridshapes_jax._GREEN (CSS "green"
+        # is half-brightness and made the target sub-salient to SAVi)
+        self._target_color = np.array([0.0, 1.0, 0.0], np.float32)
         self._done = False
 
     def init_seq(self):
