@@ -44,7 +44,13 @@ from playslot_tpu.config import Config, DEFAULTS
 EXP_ROOT = os.environ.get("PLAYSLOT_STUDY_EXP", "experiments/GridShapesStudy")
 SEEDS = [int(s) for s in os.environ.get("PLAYSLOT_STUDY_SEEDS", "0 1 2").split()]
 IMG = int(os.environ.get("PLAYSLOT_STUDY_IMG", "64"))
-NUM_SLOTS = int(os.environ.get("PLAYSLOT_STUDY_SLOTS", "4"))
+# recipe from the round-2 binding sweeps (see STATUS.md): 3 slots
+# (agent/target/background — no spare slots to tile the uniform background),
+# deterministic Learned initializer (persistent slot identities; the moving
+# agent bound in 3/3 Learned runs vs 0/5 LearnedRandom runs), target_walk
+# motion cue + equal-salience colors -> position probe R^2 1.0 on both
+# entities
+NUM_SLOTS = int(os.environ.get("PLAYSLOT_STUDY_SLOTS", "3"))
 EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_EPOCHS", "20"))
 ITERS = int(os.environ.get("PLAYSLOT_STUDY_ITERS", "500"))
 # policy/decoder heads are tiny and converge far sooner than SAVi/predictor
@@ -73,7 +79,7 @@ def savi_cfg():
     return {
         "num_slots": NUM_SLOTS, "slot_dim": 64, "num_iterations_first": 3,
         "num_iterations": 2, "in_channels": 3, "mlp_hidden": 128,
-        "mlp_encoder_dim": 64, "initializer": "LearnedRandom",
+        "mlp_encoder_dim": 64, "initializer": "Learned",
         "encoder": {"encoder_name": "ConvEncoder",
                     "encoder_params": {"num_channels": [32, 32, 32],
                                        "kernel_size": 5,
@@ -178,12 +184,12 @@ def run_seed(seed):
         log(f"[seed {seed}] SAVi attempt {attempt}: psnr={psnr:.2f} "
             f"miou={miou:.3f} dedicated_target={dedicated:.2f} "
             f"target_r2={tgt_r2:.3f}")
-        score = (dedicated, tgt_r2)
+        score = (tgt_r2, dedicated)
         if best is None or score > best[0]:
             best = (score, miou, psnr, tr)
-        if tgt_r2 >= SAVI_TARGET_R2_BAR and dedicated >= 0.5:
+        if tgt_r2 >= SAVI_TARGET_R2_BAR:
             break
-    (out["savi_dedicated_target"], out["savi_target_r2"]), \
+    (out["savi_target_r2"], out["savi_dedicated_target"]), \
         out["savi_miou"], out["savi_psnr"], tr = best
     out["savi_attempts"] = attempts
     tr.save("checkpoint_epoch_final")  # disk ckpt = the selected candidate
