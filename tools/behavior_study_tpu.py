@@ -54,7 +54,13 @@ NUM_SLOTS = int(os.environ.get("PLAYSLOT_STUDY_SLOTS", "3"))
 EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_EPOCHS", "20"))
 ITERS = int(os.environ.get("PLAYSLOT_STUDY_ITERS", "500"))
 # policy/decoder heads are tiny and converge far sooner than SAVi/predictor
-BC_EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_BC_EPOCHS", "8"))
+BC_EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_BC_EPOCHS", "12"))
+# predictor budget: the latent-action channel COLLAPSES with long predictor
+# training (nothing anchors the action-latent scale; measured dose-response
+# seed0: 4k steps -> latent std 0.024, closed-loop 0.27; 10k -> std 0.013,
+# 0.10; 24k -> std 0.003, 0.00 — docs/BEHAVIOR_STUDY.md). Stop early where
+# the channel is widest.
+PRED_EPOCHS = int(os.environ.get("PLAYSLOT_STUDY_PRED_EPOCHS", "8"))
 NUM_SIMS = int(os.environ.get("PLAYSLOT_STUDY_SIMS", "30"))
 MAX_STEPS = int(os.environ.get("PLAYSLOT_STUDY_MAX_STEPS", "60"))
 BATCH = int(os.environ.get("PLAYSLOT_STUDY_BATCH", "16"))
@@ -240,6 +246,9 @@ def run_seed(seed):
                                  "teacher_force": False, "sample_length": 8,
                                  "input_buffer_size": 8}
     pcfg.save(pred_path)
+    pcfg["training"]["num_epochs"] = PRED_EPOCHS
+    pcfg["training"]["scheduler_steps"] = PRED_EPOCHS * ITERS
+    pcfg.save(pred_path)
     log(f"[seed {seed}] stage 3: PlaySlot predictor...")
     ptr = PredictorTrainer(exp, name_predictor_experiment="PlaySlot")
     ptr.load_data()
@@ -266,8 +275,9 @@ def run_seed(seed):
     btr = BehaviorTrainer(beh_path)
     btr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
     btr.exp_params["dataset"]["num_frames"] = 16
+    btr.exp_params["dataset"]["length"] = 4096
     btr.exp_params["training"]["num_epochs"] = BC_EPOCHS
-    btr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * ITERS
+    btr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * 256
     btr.load_data()
     btr.load_models(savi_params=tr.state.params,
                     predictor_variables={"params": ptr.state.params,
