@@ -101,11 +101,18 @@ def savi_cfg():
     }
 
 
+# discrete-only conditioning (use_variability=False) measured BEST for
+# closed-loop control at this scale — the VQ bottleneck resists the
+# latent-scale collapse (docs/BEHAVIOR_STUDY.md); variability mode remains
+# selectable for parity with the reference's default
+USE_VARIABILITY = os.environ.get(
+    "PLAYSLOT_STUDY_USE_VARIABILITY", "0") == "1"
+
 PRED_CFG = {
     "predictor_name": "SlotSingleAction",
     "predictor_params": {
         "num_actions": 5, "action_dim": 16, "slot_dim": 64,
-        "condition_mode": "sum", "use_variability": True,
+        "condition_mode": "sum", "use_variability": USE_VARIABILITY,
         "autoregressive_dynamics": True,
         "LatentAction": {"model_name": "VQSingleSlotLatentAction",
                          "model_params": {"emb_dim": 128, "num_layers": 2,
