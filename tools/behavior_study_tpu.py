@@ -18,9 +18,10 @@ Per seed:
 
 Aggregates mean +- std over seeds into experiments/<EXP>/STUDY_RESULTS.json.
 
-Defaults scale the scene UP from round 1's 32px (where SAVi slot
-decomposition was unstable - STATUS.md #1): 64px frames, 12px shapes,
-4 slots (objects + background + 1 spare).
+Scene/recipe (round-2 binding sweeps, docs/BEHAVIOR_STUDY.md): 64px frames,
+12px equal-salience shapes, 3 slots, deterministic Learned initializer,
+target motion cue; SAVi candidates probe-selected on target-position R^2;
+predictor stopped where the latent-action channel is widest.
 """
 
 import copy
