@@ -72,12 +72,33 @@ class EpisodeFrameDataset:
         arr = np.asarray(img, np.float32)[..., :3] / 255.0
         return arr
 
+    def _use_native(self):
+        """Native C++ batch decoder (native/frameloader.cpp) is the default
+        production path when buildable; PLAYSLOT_NATIVE_LOADER=0 forces PIL.
+        Note the native resize is bilinear vs PIL's bicubic default — at the
+        shipped configs frames are stored at the target 64x64 so no resample
+        happens and the two paths are byte-identical (tested in
+        tests/test_misc_components.py)."""
+        if os.environ.get("PLAYSLOT_NATIVE_LOADER", "1") == "0":
+            return False
+        from playslot_tpu.data import native_loader
+        return native_loader.available()
+
     def __getitem__(self, index):
         ep = index // self.seq_per_episode
         offset = index % self.seq_per_episode
         idxs = [offset + i * self.sample_rate for i in range(self.num_frames)]
         paths = self.episodes[ep]
-        video = np.stack([self._load_img(paths[i]) for i in idxs], axis=0)
+        seq_paths = [paths[i] for i in idxs]
+        if self._use_native():
+            from playslot_tpu.data import native_loader
+            try:
+                video = native_loader.load_frames(
+                    seq_paths, self.img_size[1], self.img_size[0])
+            except RuntimeError:  # e.g. a non-PNG frame snuck in
+                video = np.stack([self._load_img(p) for p in seq_paths], axis=0)
+        else:
+            video = np.stack([self._load_img(p) for p in seq_paths], axis=0)
         actions = self._load_actions(ep, idxs)
         meta = {"actions": actions, "masks": np.array([])}
         return video, video, meta

@@ -184,12 +184,21 @@ class DeviceBatchIterator:
 # ---------------------------------------------------------------------------
 
 _RED = jnp.asarray(np.array(COLORS["red"], np.float32) / 255.0)
-# full-brightness green: CSS "green" is (0,128,0) — at half the agent's
-# contrast against the black background, slot attention systematically
-# absorbed the target into the background slot while the full-contrast red
-# agent bound reliably (sweep evidence in STATUS.md); the scene uses equal
-# salience for both entities. GridShapesSim renders the same color.
-_GREEN = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
+
+# Scene changelog (version recorded in experiment_params["dataset"]
+# ["scene_version"] by the on-device wrappers, so artifacts trained on
+# different scene generations are identifiable — identical config+seed does
+# NOT reproduce across versions):
+#   1: CSS "green" target (0, 0.502, 0); no target respawn.
+#   2 (current): full-brightness target (0, 1, 0) — CSS green is half the
+#      agent's contrast against the black background and slot attention
+#      systematically absorbed the target into the background slot while the
+#      full-contrast red agent bound reliably (sweep evidence in STATUS.md) —
+#      and stationary expert demos (target respawns when reached).
+#      GridShapesSim renders the same color.
+SCENE_VERSION = 2
+_SCENE_TARGET_COLORS = {1: (0.0, 0.50196078, 0.0), 2: (0.0, 1.0, 0.0)}
+_GREEN = jnp.asarray(np.array(_SCENE_TARGET_COLORS[SCENE_VERSION], np.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("batch", "num_frames", "img_size",
@@ -314,9 +323,16 @@ class GridShapesExpertOnDevice(GridShapesOnDevice):
 
     def __init__(self, split="train", num_frames=16, img_size=64,
                  shape_size=None, seed=13, length=None, num_expert_demos=-1,
-                 target_walk=0.0, **kwargs):
+                 target_walk=0.0, scene_version=SCENE_VERSION, **kwargs):
         super().__init__(split=split, num_frames=num_frames, img_size=img_size,
                          seed=seed, length=length, **kwargs)
+        if int(scene_version) != SCENE_VERSION:
+            raise ValueError(
+                f"dataset config requests scene_version={scene_version} but "
+                f"this build generates version {SCENE_VERSION} (see the scene "
+                f"changelog in data/gridshapes_jax.py); artifacts across "
+                f"versions are not comparable")
+        self.scene_version = SCENE_VERSION
         self.shape_size = shape_size
         self.target_walk = float(target_walk)
         if length is None:

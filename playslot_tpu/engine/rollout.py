@@ -42,7 +42,9 @@ def scan_rollout(predictor, variables, seed_slots, action_protos, action_vars,
 
     Returns (B, num_preds, S, D).
     """
-    L = predictor.DynamicsModel["model_params"].get("context_length", 8)
+    # Markov dynamics has no context_length field; any window works (it only
+    # reads the last frame) — keep the historical 8-frame window for it
+    L = getattr(_dynamics_fields(predictor), "context_length", 8)
     B, num_seed, S, D = seed_slots.shape
     use_var = action_vars is not None
 
@@ -86,25 +88,39 @@ def scan_rollout(predictor, variables, seed_slots, action_protos, action_vars,
     return jnp.stack(preds, axis=1)
 
 
-def init_kv_caches(predictor, batch, num_slots, dtype=jnp.float32):
+def _dynamics_fields(predictor):
+    """Resolve the dynamics-model hyperparameters through the SAME factory
+    the predictor's setup() uses (models/dynamics.py:get_dynamics_model), so
+    cache shapes can never drift from the instantiated module's fields."""
+    from playslot_tpu.models.dynamics import get_dynamics_model
+    dm = get_dynamics_model(
+        predictor.DynamicsModel, slot_dim=predictor.slot_dim,
+        num_actions=predictor.num_actions, action_dim=predictor.action_dim,
+        condition_mode=predictor.condition_mode,
+        use_variability=predictor.use_variability, dtype=predictor.dtype,
+        name=None)
+    return dm
+
+
+def init_kv_caches(predictor, batch, num_slots, dtype=None):
     """Per-layer KV buffers for kv_cached_rollout, sized to the full context
-    window (context_length * num_slots tokens)."""
-    p = predictor.DynamicsModel["model_params"]
-    L = p.get("context_length", 8)
-    num_layers = p.get("num_layers", 4)
-    num_heads = p.get("num_heads", 4)
-    head_dim = p.get("head_dim", 32)
-    Tmax = L * num_slots
+    window (context_length * num_slots tokens). Cache dtype defaults to the
+    model's compute dtype (the k/v the blocks will write), so bf16 configs
+    get bf16 caches instead of silently upcasting."""
+    dm = _dynamics_fields(predictor)
+    if dtype is None:
+        dtype = predictor.dtype or jnp.float32
+    Tmax = dm.context_length * num_slots
     return [
-        {"k": jnp.zeros((batch, Tmax, num_heads, head_dim), dtype),
-         "v": jnp.zeros((batch, Tmax, num_heads, head_dim), dtype),
+        {"k": jnp.zeros((batch, Tmax, dm.num_heads, dm.head_dim), dtype),
+         "v": jnp.zeros((batch, Tmax, dm.num_heads, dm.head_dim), dtype),
          "len": jnp.zeros((), jnp.int32)}
-        for _ in range(num_layers)
+        for _ in range(dm.num_layers)
     ]
 
 
 def kv_cached_rollout(predictor, variables, seed_slots, action_protos,
-                      action_vars, num_preds, dtype=jnp.float32):
+                      action_vars, num_preds, dtype=None):
     """
     KV-cached AR rollout — incremental decode instead of windowed recompute.
 
@@ -119,7 +135,7 @@ def kv_cached_rollout(predictor, variables, seed_slots, action_protos,
     faster on the MXU (docs/PERFORMANCE.md lesson 3); this path exists to
     measure the crossover at context_length 16/32 (128-256 tokens).
     """
-    L = predictor.DynamicsModel["model_params"].get("context_length", 8)
+    L = _dynamics_fields(predictor).context_length
     B, num_seed, S, D = seed_slots.shape
     if num_seed + num_preds > L:
         raise ValueError(

@@ -130,6 +130,7 @@ class MultiHeadAttention(nn.Module):
             allowed = frame_j <= frame_i  # cached frames + own frame
             logits = jnp.where(allowed[None, None], logits, jnp.float32(-1e9))
             attn = jax.nn.softmax(logits, axis=-1)
+            self.sow("intermediates", "attn", attn)
             out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v_buf.dtype), v_buf,
                              preferred_element_type=jnp.float32).astype(v.dtype)
             out = out.reshape(B, Lq, inner)
@@ -159,6 +160,21 @@ class MultiHeadAttention(nn.Module):
                     interpret=pallas_interpret())
                 out = out.reshape(B, self.num_heads, Lq, head_dim) \
                     .transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+                if self.is_mutable_collection("intermediates"):
+                    # attention maps live inside the kernel; recompute them
+                    # (cheap at these token counts) so introspection matches
+                    # the XLA fallback when capture_intermediates is on
+                    S = int(block_causal_slots)
+                    scale = head_dim ** -0.5
+                    logits = jnp.einsum(
+                        "bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+                    fj = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 1) // S
+                    fi = jax.lax.broadcasted_iota(jnp.int32, (Lq, Lk), 0) // S
+                    logits = jnp.where((fj <= fi)[None, None], logits,
+                                       jnp.float32(-1e9))
+                    self.sow("intermediates", "attn",
+                             jax.nn.softmax(logits, axis=-1))
                 if needs_proj:
                     out = nn.Dense(self.emb_dim, kernel_init=xavier_init,
                                    bias_init=zeros_init, dtype=self.dtype,

@@ -31,6 +31,15 @@ class BaseSlotLatentAction(nn.Module):
     action_dim: int
     num_actions: int
     use_ema_vq: bool = False
+    # latent_norm=True standardizes the action-direction mean (parameter-free,
+    # over action_dim) before sampling/VQ, and applies the same transform to
+    # incoming latents in decompose_action_latent. This pins the latent-action
+    # scale at O(1): nothing in the reference's PlaySlot objective anchors it,
+    # and the measured failure mode (docs/BEHAVIOR_STUDY.md, mode 4) is the
+    # channel scale collapsing with predictor training until control-time
+    # prototype lookup falls below the policy's approximation error. Default
+    # False == exact reference semantics (LatentAction.py:65-125).
+    latent_norm: bool = False
     dtype: Any = None
 
     def _setup_common(self):
@@ -62,8 +71,16 @@ class BaseSlotLatentAction(nn.Module):
         action_dir_var = var_tok[:, 1:] + var_tok[:, :-1]
         return action_dir_mean, action_dir_var
 
+    def _standardize(self, x, eps=1e-6):
+        """Parameter-free per-vector standardization over action_dim."""
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps)
+
     def _quantize_and_pack(self, action_dir_mean, action_dir_var, noise, train):
         """Sample -> VQ -> variability; shared output packing."""
+        if self.latent_norm:
+            action_dir_mean = self._standardize(action_dir_mean)
         action_dist = jnp.stack([action_dir_mean, action_dir_var], axis=2)
         sampled = self.sample(action_dir_mean, action_dir_var, noise=noise)
         action_proto, vq_loss, action_idxs = self.quantizer(sampled, train=train)
@@ -97,6 +114,11 @@ class BaseSlotLatentAction(nn.Module):
 
     def decompose_action_latent(self, action_latent):
         """Latent -> (prototype, variability) (LatentAction.py:115-125)."""
+        if self.latent_norm:
+            # same transform the training-time latents went through; also
+            # makes the control-time prototype lookup scale-invariant
+            # (standardization is idempotent)
+            action_latent = self._standardize(action_latent)
         protos, _, idxs = self.quantizer(action_latent, train=False)
         variability, _ = self.quantizer.get_variability(
             z=action_latent, action_embs=protos, action_idxs=idxs)

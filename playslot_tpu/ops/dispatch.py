@@ -30,12 +30,19 @@ def use_pallas(kernel=None):
     """Whether the given kernel (or any kernel, if None) should dispatch to
     its Pallas implementation. Global switch PLAYSLOT_USE_PALLAS=auto|1|0|
     interpret; per-kernel override PLAYSLOT_PALLAS_<KERNEL>=0|1 consulted in
-    `auto` mode only."""
+    every mode except the global '0' kill switch."""
     mode = os.environ.get("PLAYSLOT_USE_PALLAS", "auto")
-    if mode in ("1", "interpret"):
-        return True
     if mode == "0":
         return False
+    if kernel is not None and kernel not in _AUTO_DEFAULTS:
+        raise ValueError(f"Unknown Pallas kernel name {kernel!r}; "
+                         f"known: {sorted(_AUTO_DEFAULTS)}")
+    if kernel is not None:
+        override = os.environ.get(f"PLAYSLOT_PALLAS_{kernel.upper()}")
+        if override in ("0", "1"):
+            return override == "1"
+    if mode in ("1", "interpret"):
+        return True
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
@@ -43,10 +50,7 @@ def use_pallas(kernel=None):
     if not on_tpu:
         return False
     if kernel is not None:
-        override = os.environ.get(f"PLAYSLOT_PALLAS_{kernel.upper()}")
-        if override in ("0", "1"):
-            return override == "1"
-        return _AUTO_DEFAULTS.get(kernel, True)
+        return _AUTO_DEFAULTS[kernel]
     return True
 
 

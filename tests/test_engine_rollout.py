@@ -134,3 +134,32 @@ def test_kv_cached_rollout_no_variability():
                              num_preds)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_kv_cached_rollout_bf16_cache_dtype(setup):
+    """Under a bf16 model the KV buffers default to the model compute dtype
+    (ADVICE r2: fp32 caches silently upcasted and weakened the exactness
+    claim); parity vs scan_rollout holds at bf16 tolerances."""
+    from playslot_tpu.engine.rollout import init_kv_caches, kv_cached_rollout
+
+    kw = dict(PRED_KW)
+    kw["dtype"] = jnp.bfloat16
+    pred = SlotSingleActionPredictor(**kw)
+    key = jax.random.PRNGKey(11)
+    slots = jax.random.normal(key, (2, 6, S, D)) * 0.5
+    variables = pred.init({"params": key, "action": key}, slots,
+                          num_seed=2, num_preds=3)
+
+    caches = init_kv_caches(pred, batch=2, num_slots=S)
+    assert caches[0]["k"].dtype == jnp.bfloat16
+
+    num_seed, num_preds = 1, 3
+    seed_slots = slots[:, :num_seed]
+    protos = jax.random.normal(jax.random.PRNGKey(12), (2, 4, S, A)) * 0.3
+    avars = jax.random.normal(jax.random.PRNGKey(13), (2, 4, S, A)) * 0.1
+    ref = scan_rollout(pred, variables, seed_slots, protos, avars, num_preds)
+    fast = kv_cached_rollout(pred, variables, seed_slots, protos, avars,
+                             num_preds)
+    np.testing.assert_allclose(
+        np.asarray(fast, np.float32), np.asarray(ref, np.float32),
+        atol=3e-2, rtol=3e-2)

@@ -145,9 +145,12 @@ def test_native_frame_loader(tmp_path):
     assert 0 <= out2.min() and out2.max() <= 1
 
 
-def test_episode_dataset_with_native_loader(tmp_path):
-    """EpisodeFrameDataset end-to-end over a synthetic PNG episode tree."""
+def test_episode_dataset_with_native_loader(tmp_path, monkeypatch):
+    """EpisodeFrameDataset production path: the native C++ batch decoder is
+    the default when available, and its output is byte-identical to the PIL
+    fallback at the no-resize shipped config (64x64 frames -> 64x64)."""
     from PIL import Image
+    from playslot_tpu.data import native_loader
     from playslot_tpu.data.episodes import BlockPush
     rng_np = np.random.RandomState(1)
     for ep in range(2):
@@ -160,9 +163,19 @@ def test_episode_dataset_with_native_loader(tmp_path):
     ds = BlockPush(split="train", datapath=str(tmp_path), ep_len=5,
                    num_frames=3, random_start=True, img_size=(64, 64))
     assert len(ds) == 2 * 3  # 2 episodes x (5 - 3 + 1) starts
-    video, _, meta = ds[4]
-    assert video.shape == (3, 64, 64, 3)
+
+    monkeypatch.setenv("PLAYSLOT_NATIVE_LOADER", "0")
+    video_pil, _, meta = ds[4]
+    assert video_pil.shape == (3, 64, 64, 3)
     assert meta["actions"].shape == (3, 4)
+
+    if not native_loader.available():
+        pytest.skip("native toolchain/libpng unavailable")
+    monkeypatch.setenv("PLAYSLOT_NATIVE_LOADER", "1")
+    assert ds._use_native()
+    video_native, _, _ = ds[4]
+    # identical decode; 1-ulp tolerance for C-float vs numpy /255 rounding
+    np.testing.assert_allclose(video_native, video_pil, atol=1e-6)
 
 
 def test_data_parallel_savi_training(tmp_path):

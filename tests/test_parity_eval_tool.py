@@ -88,3 +88,64 @@ def test_parity_eval_tool_passes_strict_gate(tmp_path):
         "--name_pred_exp", "PlaySlot", "--pred_ckpt", "PlaySlot_rand.pth",
         "--num_seqs", "2", "--num_seed", "2", "--num_preds", "2", "--strict"])
     assert rc == 0
+
+
+def test_parity_eval_lpips_gate_wiring(tmp_path, monkeypatch):
+    """VERDICT r2 item 8: with PLAYSLOT_LPIPS_WEIGHTS set, parity_eval
+    includes LPIPS in the strict gate. Uses the random-weight AlexNet golden
+    (tests/test_lpips_parity.py layout) — the real pretrained .npz is
+    egress-blocked, but the gate wiring is identical."""
+    torch = import_reference()
+    from models.SAVi import SAVi as TorchSAVi
+    from tests.test_lpips_parity import _random_lpips_weights
+
+    # 32px floor: AlexNet's stride-4 conv + two maxpools collapse 16px
+    # inputs to zero-sized maps
+    model_kw = copy.deepcopy(MODEL_KW)
+    model_kw["encoder"]["encoder_params"]["resolution"] = [32, 32]
+    model_kw["decoder"]["decoder_params"]["resolution"] = [32, 32]
+
+    exp = str(tmp_path / "exp")
+    os.makedirs(os.path.join(exp, "models"))
+    cfg = Config(exp_path=exp, **copy.deepcopy(DEFAULTS))
+    cfg["model"] = {"model_name": "SAVi", "model_params": model_kw}
+    cfg["dataset"].update({"dataset_name": "GridShapes", "num_frames": 3,
+                           "img_size": 32, "shape_size": 7})
+    cfg.save()
+
+    tm = TorchSAVi(**copy.deepcopy(model_kw))
+    torch.save({"model_state_dict": tm.state_dict()},
+               os.path.join(exp, "models", "SAVi_rand.pth"))
+
+    npz = str(tmp_path / "lpips_random.npz")
+    np.savez(npz, **_random_lpips_weights(seed=3))
+    monkeypatch.setenv("PLAYSLOT_LPIPS_WEIGHTS", npz)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import parity_eval
+    report_path = str(tmp_path / "report.json")
+    rc = parity_eval.main([
+        "-d", exp, "--savi_ckpt", "SAVi_rand.pth", "--num_seqs", "2",
+        "--strict", "--report", report_path])
+    assert rc == 0
+    rep = json.load(open(report_path))
+    assert "lpips" in rep["savi"]["torch"] and "lpips" in rep["savi"]["jax"]
+    assert rep["strict_gate"] == "PASS"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("exp_name", ["ButtonPress", "BlockPush"])
+def test_production_shape_parity_strict_gate(exp_name, tmp_path):
+    """VERDICT r2 item 2: the strict 1% conversion-parity gate at the SHIPPED
+    production configs (ButtonPress: 4 slots/128-d SAVi, 256-d x 4-layer
+    predictor, 8 prototypes, action_dim 24; BlockPush: 8 slots, action_dim
+    16), seed-6/pred-15 — random-weight torch checkpoints exercise every
+    conversion class the 16px test cannot see. Committed reports:
+    experiments/<EXP>/predictors/PlaySlot/results/parity_production.json."""
+    import_reference()
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import run_production_parity
+
+    rc = run_production_parity.run_one(
+        exp_name, num_seqs=2, report_path=str(tmp_path / "report.json"))
+    assert rc == 0

@@ -51,39 +51,45 @@ def _one_predictor_step(tmp_path, dp, tp):
         np.random.RandomState(0).rand(8, 4, 16, 16, 3), jnp.float32))
     k0, k1 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
     state, ldict = tr._train_step(tr.state, videos, None, k0, k1)
-    return (jax.device_get(state.params),
+    return (jax.device_get(state.params), jax.device_get(state.vq),
             {k: float(v) for k, v in ldict.items()}, tr)
 
 
 def test_tp_train_step_matches_single_device(tmp_path):
-    """One train step on (2,2) and (4,2) meshes == single-device step."""
-    ref_params, ref_losses, _ = _one_predictor_step(tmp_path / "ref", 1, 1)
+    """One train step on (2,2) and (4,2) meshes == single-device step —
+    post-update params AND the mutable 'vq' collection (EMA codebook, counts,
+    usage bins): a dp-replica-divergent codebook would otherwise pass
+    silently (VERDICT r2 item 5b)."""
+    ref_params, ref_vq, ref_losses, _ = _one_predictor_step(
+        tmp_path / "ref", 1, 1)
+
+    def _name(path):
+        return "/".join(str(getattr(p, "key", p)) for p in path)
 
     for dp, tp in [(2, 2), (4, 2)]:
-        params, losses, tr = _one_predictor_step(
+        params, vq, losses, tr = _one_predictor_step(
             tmp_path / f"dp{dp}tp{tp}", dp, tp)
         assert tr.mesh is not None
         assert dict(tr.mesh.shape) == {"data": dp, "model": tp}
         for k, ref in ref_losses.items():
             assert np.isclose(losses[k], ref, rtol=1e-4, atol=1e-6), \
                 f"loss {k} mismatch at dp{dp}tp{tp}: {losses[k]} vs {ref}"
-        flat_ref = jax.tree_util.tree_leaves_with_path(ref_params)
-        flat = dict(jax.tree_util.tree_leaves_with_path(params))
-
-        def _name(path):
-            return "/".join(str(getattr(p, "key", p)) for p in path)
-
-        for path, ref_leaf in flat_ref:
-            got = flat[path]
-            assert np.allclose(got, ref_leaf, rtol=1e-4, atol=1e-5), \
-                f"param {_name(path)} diverged at dp{dp}tp{tp}: " \
-                f"max |diff| = {np.abs(got - ref_leaf).max()}"
+        for tree, ref_tree, what in ((params, ref_params, "param"),
+                                     (vq, ref_vq, "vq")):
+            flat_ref = jax.tree_util.tree_leaves_with_path(ref_tree)
+            assert flat_ref, f"empty {what} tree"
+            flat = dict(jax.tree_util.tree_leaves_with_path(tree))
+            for path, ref_leaf in flat_ref:
+                got = flat[path]
+                assert np.allclose(got, ref_leaf, rtol=1e-4, atol=1e-5), \
+                    f"{what} {_name(path)} diverged at dp{dp}tp{tp}: " \
+                    f"max |diff| = {np.abs(got - ref_leaf).max()}"
 
 
 def test_tp_rules_actually_shard_params(tmp_path):
     """Non-vacuity: with tp=2 the transformer MLP/attn kernels really are
     laid out over the 'model' axis (not silently replicated)."""
-    _, _, tr = _one_predictor_step(tmp_path, 2, 2)
+    _, _, _, tr = _one_predictor_step(tmp_path, 2, 2)
     specs = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(tr.state.params):
         name = "/".join(str(getattr(p, "key", p)) for p in path)

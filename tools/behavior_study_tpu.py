@@ -76,6 +76,19 @@ STAGES = os.environ.get("PLAYSLOT_STUDY_STAGES", "full")  # full | savi_oracle
 SAVI_ATTEMPTS = int(os.environ.get("PLAYSLOT_STUDY_SAVI_ATTEMPTS", "3"))
 SAVI_TARGET_R2_BAR = float(
     os.environ.get("PLAYSLOT_STUDY_SAVI_TARGET_R2_BAR", "0.9"))
+# Reuse stage-1/2 artifacts from a previous study run when present (the SAVi
+# checkpoint + oracle closed-loop result are anchor-independent), so anchor
+# sweeps only pay for stages 3-4.
+REUSE = os.environ.get("PLAYSLOT_STUDY_REUSE", "0") == "1"
+# Round-3 latent-scale anchors (VERDICT r2 item 1). "norm" = latent_norm knob
+# in InvDyn (models/invdyn.py); "kld" = ActionDirKLD predictor loss (shipped
+# by the reference in its registry, src/lib/loss.py:344-355, unused by its
+# configs). Composable: "norm+kld".
+ANCHOR = os.environ.get("PLAYSLOT_STUDY_ANCHOR", "none")
+KLD_W = float(os.environ.get("PLAYSLOT_STUDY_KLD_W", "0.01"))
+KLD_COV = float(os.environ.get("PLAYSLOT_STUDY_KLD_COV", "1.0"))
+PRED_NAME = os.environ.get("PLAYSLOT_STUDY_PRED_NAME", "PlaySlot")
+RESULTS_NAME = os.environ.get("PLAYSLOT_STUDY_RESULTS", "STUDY_RESULTS.json")
 
 
 def log(m):
@@ -133,6 +146,48 @@ BEH_CFG = {
                      "head_dim": 32, "mlp_dim": 256}}
 
 
+def probe_channel(cfg, pcfg, savi_params, pred_variables, batch=64):
+    """Latent-action channel health (the round-2 collapse diagnostic,
+    tools/probe_latent_actions.py): scale of the distilled latent target,
+    linear R^2 latent->GT action, codeword-usage entropy."""
+    from playslot_tpu.data.gridshapes_jax import generate_scene_batch
+    from playslot_tpu.models.factory import setup_model, setup_predictor
+
+    savi = setup_model(cfg["model"])
+    pred = setup_predictor(pcfg["predictor"],
+                           savi_params=cfg["model"]["model_params"])
+    out = generate_scene_batch(jax.random.PRNGKey(5), batch=batch,
+                               num_frames=8, img_size=IMG, policy="random")
+    slots = savi.apply({"params": savi_params}, out["videos"], decode=False,
+                       rngs={"slots": jax.random.PRNGKey(0)})["slot_history"]
+    la = pred.apply(pred_variables, slots,
+                    rngs={"action": jax.random.PRNGKey(1)},
+                    method=lambda m, s: m.latent_action(s, train=False))
+    mu = np.asarray(la["action_dist"])[:, :, 0]
+    lat = np.asarray(la["sampled_latent_action"])
+    acts = np.asarray(out["actions"])[:, :lat.shape[1]]
+
+    def probe_r2(X, Y):
+        X1 = np.concatenate([X, np.ones((len(X), 1))], 1)
+        W, *_ = np.linalg.lstsq(X1, Y, rcond=None)
+        resid = ((Y - X1 @ W) ** 2).sum()
+        return 1 - resid / ((Y - Y.mean(0)) ** 2).sum()
+
+    Y = acts.reshape(-1, acts.shape[-1])
+    usage = np.asarray(pred_variables.get("vq", {}).get(
+        "latent_action", {}).get("quantizer", {}).get("usage_bins", []))
+    return {
+        "latent_std": round(float(mu.std()), 5),
+        "r2_mean_to_action": round(float(probe_r2(
+            mu.reshape(-1, mu.shape[-1]), Y)), 4),
+        "r2_sampled_to_action": round(float(probe_r2(
+            lat.reshape(-1, lat.shape[-1]), Y)), 4),
+        "usage_entropy": round(float(
+            -(usage * np.log(np.maximum(usage, 1e-12))).sum()), 3)
+        if usage.size else None,
+    }
+
+
 def run_seed(seed):
     from playslot_tpu.train.trainer import SAViTrainer
     from playslot_tpu.train.evaluator import SAViEvaluator
@@ -142,106 +197,138 @@ def run_seed(seed):
 
     exp = os.path.join(EXP_ROOT, f"seed{seed}")
     os.makedirs(exp, exist_ok=True)
-    out = {"seed": seed}
+    out = {"seed": seed, "anchor": ANCHOR}
 
-    cfg = Config(exp_path=exp, **copy.deepcopy(DEFAULTS))
-    cfg["model"] = {"model_name": "SAVi", "model_params": savi_cfg()}
-    cfg["dataset"].update({
-        "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
-        "img_size": IMG, "length": ITERS * BATCH, "seed": seed,
-        # motion cue so slot attention binds the (otherwise static) target
-        # instead of folding it into the background slot — see
-        # generate_scene_batch docstring
-        "target_walk": 0.2})
-    cfg["training"].update({
-        "num_epochs": EPOCHS, "batch_size": BATCH,
-        "train_iters_per_epoch": ITERS, "valid_iters_per_epoch": 8,
-        "save_frequency": max(EPOCHS, 1), "lr": 2e-4, "warmup_steps": 100,
-        "scheduler_steps": EPOCHS * ITERS, "compute_dtype": "bfloat16",
-        "seed": seed})
-    cfg.save()
+    savi_ckpt = os.path.join(exp, "models", "checkpoint_epoch_final")
+    reuse_savi = REUSE and os.path.isdir(savi_ckpt)
+    if not reuse_savi:
+        cfg = Config(exp_path=exp, **copy.deepcopy(DEFAULTS))
+        cfg["model"] = {"model_name": "SAVi", "model_params": savi_cfg()}
+        from playslot_tpu.data.gridshapes_jax import SCENE_VERSION
+        cfg["dataset"].update({
+            "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
+            "img_size": IMG, "length": ITERS * BATCH, "seed": seed,
+            # scene generation changelog marker (data/gridshapes_jax.py):
+            # identifies which target-color/respawn generation produced
+            # the artifacts in this tree
+            "scene_version": SCENE_VERSION,
+            # motion cue so slot attention binds the (otherwise static) target
+            # instead of folding it into the background slot — see
+            # generate_scene_batch docstring
+            "target_walk": 0.2})
+        cfg["training"].update({
+            "num_epochs": EPOCHS, "batch_size": BATCH,
+            "train_iters_per_epoch": ITERS, "valid_iters_per_epoch": 8,
+            "save_frequency": max(EPOCHS, 1), "lr": 2e-4, "warmup_steps": 100,
+            "scheduler_steps": EPOCHS * ITERS, "compute_dtype": "bfloat16",
+            "seed": seed})
+        cfg.save()
 
     # ---------------------------------------------------------- 1: SAVi
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from probe_slot_binding import collect, ownership, position_probe
+    from playslot_tpu.models.factory import setup_model
 
-    def binding_score(tr, savi_f32):
+    def binding_score(savi_params, savi_f32):
         """(dedicated_target_frac, target probe R^2) on the f32 module."""
-        X, assign, gt = collect(savi_f32, tr.state.params, batches=4,
+        X, assign, gt = collect(savi_f32, savi_params, batches=4,
                                 img_size=IMG, target_walk=0.0)
         _, dedicated = ownership(assign, gt, NUM_SLOTS)
         r2 = position_probe(X, gt, IMG)
         return float(dedicated), float(min(r2[2], r2[3])), [float(v) for v in r2]
 
-    log(f"[seed {seed}] stage 1: SAVi ({IMG}px, {NUM_SLOTS} slots)...")
-    from playslot_tpu.models.factory import setup_model
-    best = None
-    attempts = []
-    for attempt in range(SAVI_ATTEMPTS):
+    if reuse_savi:
+        from playslot_tpu.utils.checkpoint import load_checkpoint
+        log(f"[seed {seed}] stage 1: reusing SAVi checkpoint {savi_ckpt}")
         cfg = Config.load(exp)
-        cfg["training"]["seed"] = seed * 100 + attempt
-        cfg.save()
-        tr = SAViTrainer(exp)
-        tr.load_data()
-        tr.setup_model()
-        tr.training_loop()
-        savi_res = SAViEvaluator(exp, {"params": tr.state.params},
-                                 metrics=("psnr",), results_name="savi_eval"
-                                 ).evaluate(max_batches=2)
-        miou = float(savi_res.get("miou", {}).get("mean", -1))
-        psnr = float(savi_res["psnr"]["mean"])
-        savi_f32 = setup_model(cfg["model"])  # probe at f32
-        dedicated, tgt_r2, r2 = binding_score(tr, savi_f32)
-        attempts.append({"miou": round(miou, 3), "psnr": round(psnr, 2),
-                         "dedicated_target": round(dedicated, 3),
-                         "probe_r2": [round(v, 3) for v in r2]})
-        log(f"[seed {seed}] SAVi attempt {attempt}: psnr={psnr:.2f} "
-            f"miou={miou:.3f} dedicated_target={dedicated:.2f} "
+        savi_params = load_checkpoint(savi_ckpt)["state"]["params"]
+        savi_f32 = setup_model(cfg["model"])
+        dedicated, tgt_r2, r2 = binding_score(savi_params, savi_f32)
+        out.update(savi_target_r2=tgt_r2, savi_dedicated_target=dedicated,
+                   savi_probe_r2=[round(v, 3) for v in r2], savi_reused=True)
+        log(f"[seed {seed}] reused SAVi: dedicated_target={dedicated:.2f} "
             f"target_r2={tgt_r2:.3f}")
-        score = (tgt_r2, dedicated)
-        if best is None or score > best[0]:
-            best = (score, miou, psnr, tr)
-        if tgt_r2 >= SAVI_TARGET_R2_BAR:
-            break
-    (out["savi_target_r2"], out["savi_dedicated_target"]), \
-        out["savi_miou"], out["savi_psnr"], tr = best
-    out["savi_attempts"] = attempts
-    tr.save("checkpoint_epoch_final")  # disk ckpt = the selected candidate
-    log(f"[seed {seed}] SAVi selected: psnr={out['savi_psnr']:.2f} "
-        f"miou={out['savi_miou']:.3f} "
-        f"dedicated_target={out['savi_dedicated_target']:.2f}")
+    else:
+        log(f"[seed {seed}] stage 1: SAVi ({IMG}px, {NUM_SLOTS} slots)...")
+        best = None
+        attempts = []
+        for attempt in range(SAVI_ATTEMPTS):
+            cfg = Config.load(exp)
+            cfg["training"]["seed"] = seed * 100 + attempt
+            cfg.save()
+            tr = SAViTrainer(exp)
+            tr.load_data()
+            tr.setup_model()
+            tr.training_loop()
+            savi_res = SAViEvaluator(exp, {"params": tr.state.params},
+                                     metrics=("psnr",), results_name="savi_eval"
+                                     ).evaluate(max_batches=2)
+            miou = float(savi_res.get("miou", {}).get("mean", -1))
+            psnr = float(savi_res["psnr"]["mean"])
+            savi_f32 = setup_model(cfg["model"])  # probe at f32
+            dedicated, tgt_r2, r2 = binding_score(tr.state.params, savi_f32)
+            attempts.append({"miou": round(miou, 3), "psnr": round(psnr, 2),
+                             "dedicated_target": round(dedicated, 3),
+                             "probe_r2": [round(v, 3) for v in r2]})
+            log(f"[seed {seed}] SAVi attempt {attempt}: psnr={psnr:.2f} "
+                f"miou={miou:.3f} dedicated_target={dedicated:.2f} "
+                f"target_r2={tgt_r2:.3f}")
+            score = (tgt_r2, dedicated)
+            if best is None or score > best[0]:
+                best = (score, miou, psnr, tr)
+            if tgt_r2 >= SAVI_TARGET_R2_BAR:
+                break
+        (out["savi_target_r2"], out["savi_dedicated_target"]), \
+            out["savi_miou"], out["savi_psnr"], tr = best
+        out["savi_attempts"] = attempts
+        tr.save("checkpoint_epoch_final")  # disk ckpt = the selected candidate
+        savi_params = tr.state.params
+        log(f"[seed {seed}] SAVi selected: psnr={out['savi_psnr']:.2f} "
+            f"miou={out['savi_miou']:.3f} "
+            f"dedicated_target={out['savi_dedicated_target']:.2f}")
 
     # ---------------------------------------------------------- 2: oracle
     orc_path = os.path.join(exp, "oracle", "Oracle")
-    os.makedirs(orc_path, exist_ok=True)
-    ocfg = Config.load(exp)
-    ocfg["behavior_model"] = copy.deepcopy(BEH_CFG)
-    ocfg["action_dim"] = 2
-    ocfg["behavior_loss"] = [{"type": "action_mse", "weight": 1.0}]
-    ocfg.save(orc_path)
-    log(f"[seed {seed}] stage 2: oracle policy...")
-    otr = OracleTrainer(orc_path)
-    otr.exp_params["dataset"]["dataset_name"] = "GridShapesOnDevice_ExpertDemos"
-    otr.exp_params["dataset"]["num_frames"] = 16
-    otr.exp_params["training"]["num_epochs"] = BC_EPOCHS
-    otr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * ITERS
-    otr.load_data()
-    otr.load_models(savi_params=tr.state.params)
-    otr.setup_behavior_models()
-    otr.training_loop()
-    oev = SimulationEvaluator(
-        orc_path, {"params": tr.state.params}, None,
-        otr.state.params["policy"], None, num_sims=NUM_SIMS,
-        max_num_steps=MAX_STEPS, sim_name="GridShapes", oracle=True)
-    orc_res = oev.evaluate()
-    out["oracle_success"] = float(orc_res["success_rate"])
-    log(f"[seed {seed}] oracle closed-loop success={out['oracle_success']:.2f}")
+    orc_res_file = os.path.join(orc_path, "results",
+                                "results_simulation_GridShapes.json")
+    if REUSE and reuse_savi and os.path.exists(orc_res_file):
+        with open(orc_res_file) as f:
+            out["oracle_success"] = float(json.load(f)["success_rate"])
+        out["oracle_reused"] = True
+        log(f"[seed {seed}] stage 2: reused oracle success="
+            f"{out['oracle_success']:.2f}")
+    else:
+        os.makedirs(orc_path, exist_ok=True)
+        ocfg = Config.load(exp)
+        ocfg["behavior_model"] = copy.deepcopy(BEH_CFG)
+        ocfg["action_dim"] = 2
+        ocfg["behavior_loss"] = [{"type": "action_mse", "weight": 1.0}]
+        ocfg.save(orc_path)
+        log(f"[seed {seed}] stage 2: oracle policy...")
+        otr = OracleTrainer(orc_path)
+        otr.exp_params["dataset"]["dataset_name"] = \
+            "GridShapesOnDevice_ExpertDemos"
+        otr.exp_params["dataset"]["num_frames"] = 16
+        otr.exp_params["training"]["num_epochs"] = BC_EPOCHS
+        otr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * ITERS
+        otr.load_data()
+        otr.load_models(savi_params=savi_params)
+        otr.setup_behavior_models()
+        otr.training_loop()
+        oev = SimulationEvaluator(
+            orc_path, {"params": savi_params}, None,
+            otr.state.params["policy"], None, num_sims=NUM_SIMS,
+            max_num_steps=MAX_STEPS, sim_name="GridShapes", oracle=True)
+        orc_res = oev.evaluate()
+        out["oracle_success"] = float(orc_res["success_rate"])
+        log(f"[seed {seed}] oracle closed-loop success="
+            f"{out['oracle_success']:.2f}")
 
     if STAGES == "savi_oracle":
         return out
 
     # ---------------------------------------------------------- 3: PlaySlot
-    pred_path = os.path.join(exp, "predictors", "PlaySlot")
+    pred_path = os.path.join(exp, "predictors", PRED_NAME)
     os.makedirs(pred_path, exist_ok=True)
     pcfg = Config.load(exp)
     # keep the latent-action space clean of unpredictable target jumps:
@@ -250,6 +337,12 @@ def run_seed(seed):
     pcfg["dataset"]["target_walk"] = 0.0
     pcfg["predictor"] = copy.deepcopy(PRED_CFG)
     pcfg["predictor_loss"] = copy.deepcopy(DEFAULTS["predictor_loss"])
+    if "norm" in ANCHOR:
+        pcfg["predictor"]["predictor_params"]["LatentAction"][
+            "model_params"]["latent_norm"] = True
+    if "kld" in ANCHOR:
+        pcfg["predictor_loss"].append(
+            {"type": "ActionDirKLD", "weight": KLD_W, "cov": KLD_COV})
     pcfg["prediction_params"] = {"num_context": 3, "num_preds": 5,
                                  "teacher_force": False, "sample_length": 8,
                                  "input_buffer_size": 8}
@@ -257,19 +350,25 @@ def run_seed(seed):
     pcfg["training"]["num_epochs"] = PRED_EPOCHS
     pcfg["training"]["scheduler_steps"] = PRED_EPOCHS * ITERS
     pcfg.save(pred_path)
-    log(f"[seed {seed}] stage 3: PlaySlot predictor...")
-    ptr = PredictorTrainer(exp, name_predictor_experiment="PlaySlot")
+    log(f"[seed {seed}] stage 3: PlaySlot predictor (anchor={ANCHOR})...")
+    ptr = PredictorTrainer(exp, name_predictor_experiment=PRED_NAME)
     ptr.load_data()
-    ptr.load_savi(savi_params=tr.state.params)
+    ptr.load_savi(savi_params=savi_params)
     ptr.setup_predictor()
     ptr.training_loop()
+    ptr.save("checkpoint_epoch_final")
     usage = np.asarray(ptr.state.vq["latent_action"]["quantizer"]["usage_bins"])
     out["vq_usage"] = np.round(usage, 3).tolist()
+    out["latent_channel"] = probe_channel(
+        cfg, pcfg, savi_params,
+        {"params": ptr.state.params, "vq": ptr.state.vq})
+    log(f"[seed {seed}] latent channel: {out['latent_channel']}")
 
     # ---------------------------------------------------------- 4: behavior
     beh_path = os.path.join(pred_path, "behaviors", "Policy")
     os.makedirs(beh_path, exist_ok=True)
     bcfg = Config.load(pred_path)
+    tr = None  # SAVi trainer no longer needed; stages below use savi_params
     bcfg["behavior_model"] = copy.deepcopy(BEH_CFG)
     bcfg["action_decoder"] = {
         "model_name": "MLPDecoder",
@@ -287,7 +386,7 @@ def run_seed(seed):
     btr.exp_params["training"]["num_epochs"] = BC_EPOCHS
     btr.exp_params["training"]["scheduler_steps"] = BC_EPOCHS * 256
     btr.load_data()
-    btr.load_models(savi_params=tr.state.params,
+    btr.load_models(savi_params=savi_params,
                     predictor_variables={"params": ptr.state.params,
                                          "vq": ptr.state.vq})
     btr.setup_behavior_models()
@@ -298,13 +397,13 @@ def run_seed(seed):
                   sim_name="GridShapes")
     log(f"[seed {seed}] closed-loop evaluation...")
     ev_g = SimulationEvaluator(
-        beh_path, {"params": tr.state.params},
+        beh_path, {"params": savi_params},
         {"params": ptr.state.params, "vq": ptr.state.vq},
         btr.state.params["policy"], btr.state.params["decoder"],
         ground_with_obs=True, **common)
     out["policy_success_grounded"] = float(ev_g.evaluate()["success_rate"])
     ev_i = SimulationEvaluator(
-        beh_path, {"params": tr.state.params},
+        beh_path, {"params": savi_params},
         {"params": ptr.state.params, "vq": ptr.state.vq},
         btr.state.params["policy"], btr.state.params["decoder"], **common)
     out["policy_success_imagination"] = float(ev_i.evaluate()["success_rate"])
@@ -320,7 +419,7 @@ def main():
     for seed in SEEDS:
         res = run_seed(seed)
         per_seed.append(res)
-        with open(os.path.join(EXP_ROOT, "STUDY_RESULTS.json"), "w") as f:
+        with open(os.path.join(EXP_ROOT, RESULTS_NAME), "w") as f:
             json.dump({"config": {"img": IMG, "slots": NUM_SLOTS,
                                   "epochs": EPOCHS, "iters": ITERS,
                                   "num_sims": NUM_SIMS,
@@ -335,7 +434,10 @@ def main():
     summary = {
         "config": {"img": IMG, "slots": NUM_SLOTS, "epochs": EPOCHS,
                    "iters": ITERS, "num_sims": NUM_SIMS,
-                   "max_steps": MAX_STEPS, "seeds": SEEDS},
+                   "max_steps": MAX_STEPS, "seeds": SEEDS,
+                   "anchor": ANCHOR, "kld_w": KLD_W, "kld_cov": KLD_COV,
+                   "pred_epochs": PRED_EPOCHS, "pred_name": PRED_NAME,
+                   "use_variability": USE_VARIABILITY},
         "per_seed": per_seed,
         "aggregate": {k: agg(k) for k in (
             "savi_psnr", "savi_miou", "savi_dedicated_target",
@@ -343,7 +445,7 @@ def main():
             "policy_success_grounded", "policy_success_imagination")},
         "device": str(jax.devices()[0]),
     }
-    with open(os.path.join(EXP_ROOT, "STUDY_RESULTS.json"), "w") as f:
+    with open(os.path.join(EXP_ROOT, RESULTS_NAME), "w") as f:
         json.dump(summary, f, indent=2)
     log(f"STUDY DONE: {json.dumps(summary['aggregate'])}")
 

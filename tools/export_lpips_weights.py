@@ -37,15 +37,31 @@ def main():
         out[f"feat{i}/kernel"] = w.transpose(2, 3, 1, 0)
         out[f"feat{i}/bias"] = alexnet[ci].bias.detach().numpy()
 
-    # LPIPS linear heads (richzhang weights); fall back to uniform averaging
+    # LPIPS linear heads. Preferred source: piqa (what the reference's
+    # metric uses, src/lib/metrics.py:280-328) — piqa.lpips.LPIPS(network=
+    # "alex") stores them as `weights`, a ParameterList of (1, C, 1, 1)
+    # tensors. Fallback: the richzhang/PerceptualSimilarity `lpips` package.
+    # Last resort: uniform averaging heads (still a valid perceptual metric,
+    # not numerically the published LPIPS).
+    heads = None
     try:
-        import lpips as lpips_pkg
-        net = lpips_pkg.LPIPS(net="alex")
-        for i, lin in enumerate(net.lins):
-            w = lin.model[-1].weight.detach().numpy()  # (1, C, 1, 1)
-            out[f"lin{i}/kernel"] = w.transpose(2, 3, 1, 0)
+        from piqa.lpips import LPIPS as PiqaLPIPS
+        net = PiqaLPIPS(network="alex")
+        heads = [w.detach().numpy() for w in net.weights]  # (1, C, 1, 1) each
+        print("linear heads: piqa")
     except Exception as e:
-        print(f"lpips package unavailable ({e}); writing uniform heads")
+        print(f"piqa unavailable ({e}); trying lpips package")
+        try:
+            import lpips as lpips_pkg
+            net = lpips_pkg.LPIPS(net="alex")
+            heads = [lin.model[-1].weight.detach().numpy() for lin in net.lins]
+            print("linear heads: lpips (richzhang)")
+        except Exception as e2:
+            print(f"lpips package unavailable ({e2}); writing uniform heads")
+    if heads is not None:
+        for i, w in enumerate(heads):
+            out[f"lin{i}/kernel"] = w.transpose(2, 3, 1, 0)
+    else:
         dims = [64, 192, 384, 256, 256]
         for i, c in enumerate(dims):
             out[f"lin{i}/kernel"] = np.full((1, 1, c, 1), 1.0 / c, np.float32)

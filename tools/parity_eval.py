@@ -185,6 +185,7 @@ def main(argv=None):
     p.add_argument("--num_seed", type=int, default=6)
     p.add_argument("--num_preds", type=int, default=15)
     p.add_argument("--strict", action="store_true")
+    p.add_argument("--report", help="write the parity report JSON here")
     args = p.parse_args(argv)
 
     from playslot_tpu.config import Config
@@ -269,6 +270,12 @@ def main(argv=None):
             if abs(t) > 1e-9:
                 worst = max(worst, abs(j - t) / abs(t))
     print(f"worst relative metric delta: {worst * 100:.3f}%")
+    report["worst_relative_metric_delta"] = worst
+    report["strict_gate"] = "PASS" if worst <= 0.01 else "FAIL"
+    if args.report:
+        os.makedirs(os.path.dirname(os.path.abspath(args.report)), exist_ok=True)
+        with open(args.report, "w") as f:
+            json.dump(report, f, indent=2)
     if args.strict and worst > 0.01:
         print("FAIL: metric delta exceeds 1%")
         return 1
