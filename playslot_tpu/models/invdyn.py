@@ -31,18 +31,53 @@ class BaseSlotLatentAction(nn.Module):
     action_dim: int
     num_actions: int
     use_ema_vq: bool = False
-    # latent_norm=True standardizes the action-direction mean (parameter-free,
-    # over action_dim) before sampling/VQ, and applies the same transform to
-    # incoming latents in decompose_action_latent. This pins the latent-action
-    # scale at O(1): nothing in the reference's PlaySlot objective anchors it,
-    # and the measured failure mode (docs/BEHAVIOR_STUDY.md, mode 4) is the
-    # channel scale collapsing with predictor training until control-time
-    # prototype lookup falls below the policy's approximation error. Default
-    # False == exact reference semantics (LatentAction.py:65-125).
-    latent_norm: bool = False
+    # Latent-scale anchor (docs/BEHAVIOR_STUDY.md failure mode 4: nothing in
+    # the reference's PlaySlot objective anchors the action-latent scale, and
+    # the channel co-shrinks with predictor training until the control-time
+    # prototype lookup falls below the policy's approximation error).
+    # Modes (default False == exact reference semantics,
+    # LatentAction.py:65-125):
+    #   "vector" (or True): per-vector standardization of the action-
+    #       direction mean. Pins per-sample std at 1 but is NONLINEAR across
+    #       samples — it erases the magnitude channel (the zero-action
+    #       difference vector becomes amplified noise). Measured round 3:
+    #       kills the action information (probe R^2 0.53 -> 0.1); kept for
+    #       the study record.
+    #   "batch": divide by an EMA of the GLOBAL rms of the action-direction
+    #       mean — a scalar gauge fix, linear over the dataset, so per-sample
+    #       geometry (including magnitudes) is preserved exactly while the
+    #       interface scale seen by VQ / the dynamics model / the policy
+    #       stays O(1) no matter how far the raw encoder output shrinks.
+    #       The EMA scalar lives in the "vq" collection (threaded through
+    #       jitted train steps like the codebook).
+    latent_norm: Any = False
+    # enable VQ dead-code revival (see VectorQuantizer.revive_dead_codes);
+    # default off == reference EMA semantics
+    vq_revive_dead: bool = False
+    # latent_det=True quantizes the action-direction MEAN instead of the
+    # reparameterized sample (LatentAction.py:71-75 always samples). Why this
+    # knob exists: at init the mean is a difference of two nearly identical
+    # frame embeddings (scale ~1e-2) while the sampling noise is O(sqrt(var))
+    # = O(1), so the VQ assignment is noise-dominated, the dynamics model
+    # learns to ignore the channel, and nothing ever pressures the mean to
+    # become informative (the measured collapse, docs/BEHAVIOR_STUDY.md
+    # failure mode 4). Deterministic quantization is the LAPO/Genie-style
+    # bottleneck: the code index depends only on the informative signal, so
+    # channel usefulness is never hidden behind noise. Default False ==
+    # exact reference semantics.
+    latent_det: bool = False
     dtype: Any = None
 
+    def _norm_mode(self):
+        if self.latent_norm is True:
+            return "vector"
+        return self.latent_norm or None
+
     def _setup_common(self):
+        if self._norm_mode() == "batch":
+            self.latent_scale = self.variable(
+                "vq", "latent_scale", lambda *_: jnp.ones((), jnp.float32),
+                None)
         self.mean_fc = nn.Dense(self.action_dim, kernel_init=xavier_init,
                                 bias_init=zeros_init, dtype=self.dtype, name="mean_fc")
         self.variance_fc = nn.Dense(self.action_dim, kernel_init=xavier_init,
@@ -50,7 +85,8 @@ class BaseSlotLatentAction(nn.Module):
                                     name="variance_fc")
         self.quantizer = VectorQuantizer(
             num_embs=self.num_actions, emb_dim=self.action_dim,
-            use_ema=self.use_ema_vq, dtype=self.dtype, name="quantizer")
+            use_ema=self.use_ema_vq, revive_dead_codes=self.vq_revive_dead,
+            dtype=self.dtype, name="quantizer")
 
     # ----------------------------------------------------------- primitives
     def sample(self, mean, var, noise=None, eps=1e-6):
@@ -79,10 +115,25 @@ class BaseSlotLatentAction(nn.Module):
 
     def _quantize_and_pack(self, action_dir_mean, action_dir_var, noise, train):
         """Sample -> VQ -> variability; shared output packing."""
-        if self.latent_norm:
+        mode = self._norm_mode()
+        if mode == "vector":
             action_dir_mean = self._standardize(action_dir_mean)
+        elif mode == "batch":
+            rms = jnp.sqrt(jnp.mean(
+                action_dir_mean.astype(jnp.float32) ** 2) + 1e-12)
+            if train:
+                scale = 0.95 * self.latent_scale.value + 0.05 * rms
+                self.latent_scale.value = scale
+            else:
+                scale = self.latent_scale.value
+            action_dir_mean = (action_dir_mean
+                               / jnp.maximum(scale, 1e-6).astype(
+                                   action_dir_mean.dtype))
         action_dist = jnp.stack([action_dir_mean, action_dir_var], axis=2)
-        sampled = self.sample(action_dir_mean, action_dir_var, noise=noise)
+        if self.latent_det:
+            sampled = action_dir_mean  # deterministic bottleneck (see field doc)
+        else:
+            sampled = self.sample(action_dir_mean, action_dir_var, noise=noise)
         action_proto, vq_loss, action_idxs = self.quantizer(sampled, train=train)
         action_var, _ = self.quantizer.get_variability(
             z=sampled, action_embs=action_proto, action_idxs=action_idxs)
@@ -114,10 +165,12 @@ class BaseSlotLatentAction(nn.Module):
 
     def decompose_action_latent(self, action_latent):
         """Latent -> (prototype, variability) (LatentAction.py:115-125)."""
-        if self.latent_norm:
+        if self._norm_mode() == "vector":
             # same transform the training-time latents went through; also
             # makes the control-time prototype lookup scale-invariant
-            # (standardization is idempotent)
+            # (standardization is idempotent). "batch" mode needs NO
+            # transform here: the policy regresses already-normalized
+            # targets, so its latents live in the normalized space.
             action_latent = self._standardize(action_latent)
         protos, _, idxs = self.quantizer(action_latent, train=False)
         variability, _ = self.quantizer.get_variability(

@@ -37,6 +37,17 @@ class VectorQuantizer(nn.Module):
     use_ema: bool = False
     ema_alpha: float = 0.05
     epsilon: float = 1e-6
+    # Dead-code revival (default off == exact reference EMA semantics,
+    # quantization.py:136-151): when a codeword's EMA count starves below
+    # revive_threshold x the uniform share, re-seed it from a random encoder
+    # sample of the current batch (standard VQ-VAE "random restart"). Needed
+    # when the encoder output distribution sits far from the +-1/num_embs
+    # codebook init — e.g. under the latent_norm anchor, whose unit-std
+    # latents (norm ~ sqrt(emb_dim)) otherwise leave most codes dead
+    # (measured: usage [0.48, 0.001, 0.001, 0.52, 0.001] vs the healthy
+    # near-uniform spread; docs/BEHAVIOR_STUDY.md round 3).
+    revive_dead_codes: bool = False
+    revive_threshold: float = 0.1
     dtype: Any = None
 
     def setup(self):
@@ -113,6 +124,17 @@ class VectorQuantizer(nn.Module):
         ema_count = (ema_count + eps) / (B + self.num_embs * eps) * B
         dw = jnp.dot(enc.T, zf, preferred_element_type=jnp.float32)
         ema_weight = a * self.ema_weight.value + (1 - a) * dw
+
+        if self.revive_dead_codes:
+            # starving codes jump to a random batch sample with unit count,
+            # so the next assignments can reach them; healthy codes untouched
+            dead = ema_count < self.revive_threshold * (
+                jnp.sum(ema_count) / self.num_embs)
+            picks = jax.random.randint(self.make_rng("action"),
+                                       (self.num_embs,), 0, zf.shape[0])
+            candidates = jnp.take(zf, picks, axis=0).astype(ema_weight.dtype)
+            ema_count = jnp.where(dead, jnp.ones_like(ema_count), ema_count)
+            ema_weight = jnp.where(dead[:, None], candidates, ema_weight)
 
         self.ema_count.value = ema_count
         self.ema_weight.value = ema_weight

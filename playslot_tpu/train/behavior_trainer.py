@@ -95,8 +95,13 @@ class BehaviorTrainer(BaseTrainer):
         predictor = None if oracle else self.predictor
         pred_vars = None if oracle else self.pred_variables
         action_decoder = None if oracle else self.action_decoder
+        precision_ctx = self._precision_ctx
 
         def forward(params, videos, gt_actions, keys, train):
+            with precision_ctx():
+                return forward_impl(params, videos, gt_actions, keys, train)
+
+        def forward_impl(params, videos, gt_actions, keys, train):
             slots = savi.apply({"params": savi_params}, videos, decode=False,
                                rngs={"slots": keys[0]})["slot_history"]
             slots = jax.lax.stop_gradient(slots)

@@ -112,8 +112,13 @@ class PredictorTrainer(BaseTrainer):
             "teacher_force", False)
         buffer_size = self.exp_params["prediction_params"].get(
             "input_buffer_size", 30)
+        precision_ctx = self._precision_ctx
 
         def forward(params, vq, videos, actions, keys, train):
+            with precision_ctx():
+                return forward_impl(params, vq, videos, actions, keys, train)
+
+        def forward_impl(params, vq, videos, actions, keys, train):
             slots = savi.apply(
                 {"params": savi_params}, videos, num_imgs=nc + np_, decode=False,
                 rngs={"slots": keys[0]})["slot_history"]

@@ -177,6 +177,24 @@ class BaseTrainer:
         name = self.exp_params.get("training", {}).get("compute_dtype")
         return jnp.bfloat16 if name == "bfloat16" else None
 
+    def _precision_ctx(self):
+        """Context manager pinning jax matmul precision inside the jitted
+        steps when training.matmul_precision is set ("highest" etc.).
+
+        Why this exists: TPU f32 matmuls default to bf16-class passes. The
+        InvDyn action latent is a DIFFERENCE of consecutive O(1) frame
+        embeddings whose measured scale is 1e-2..1e-3 — bf16-class rounding
+        noise on the embeddings (~0.4% of O(1)) rides through the subtraction
+        and can exceed the entire signal (catastrophic cancellation). The
+        closed-loop evaluator already pins "highest" for the same reason
+        (sim_evaluator.py); this knob extends that to the stages where the
+        channel is LEARNED (predictor) and DISTILLED (behavior cloning).
+        Default unset == reference-equivalent behavior."""
+        import contextlib
+        name = self.exp_params.get("training", {}).get("matmul_precision")
+        return jax.default_matmul_precision(name) if name \
+            else contextlib.nullcontext()
+
     def _next_key(self, n=1):
         self.rng, *keys = jax.random.split(self.rng, n + 1)
         return keys[0] if n == 1 else keys
@@ -239,13 +257,15 @@ class SAViTrainer(BaseTrainer):
     def _build_steps(self):
         model, tx = self.model, self.tx
         loss_cfg = self.exp_params["loss"]
+        precision_ctx = self._precision_ctx
 
         def loss_fn(params, videos, key):
-            out = model.apply({"params": params}, videos, train=True,
-                              rngs={"slots": key})
-            total, ldict = compute_losses(
-                loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
-            return total, ldict
+            with precision_ctx():
+                out = model.apply({"params": params}, videos, train=True,
+                                  rngs={"slots": key})
+                total, ldict = compute_losses(
+                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
+                return total, ldict
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, videos, key):
@@ -258,11 +278,12 @@ class SAViTrainer(BaseTrainer):
 
         @jax.jit
         def valid_step(state, videos, key):
-            out = model.apply({"params": state.params}, videos,
-                              rngs={"slots": key})
-            _, ldict = compute_losses(
-                loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
-            return ldict
+            with precision_ctx():
+                out = model.apply({"params": state.params}, videos,
+                                  rngs={"slots": key})
+                _, ldict = compute_losses(
+                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
+                return ldict
 
         self._train_step = train_step
         self._valid_step = valid_step

@@ -139,3 +139,152 @@ def test_dispatch_per_kernel_override_in_forced_mode(monkeypatch):
     monkeypatch.setenv("PLAYSLOT_USE_PALLAS", "auto")
     with pytest.raises(ValueError):
         use_pallas("no_such_kernel")
+
+
+def test_action_dir_kld_matches_reference_golden():
+    """action_dir_kld == the reference's ActionDirectionGaussKLD numerically
+    (src/lib/loss.py:265-310), including its prior/posterior naming quirks."""
+    from tests.reference_util import import_reference
+    torch = import_reference()
+    from lib.loss import ActionDirectionGaussKLD
+
+    from playslot_tpu.train.losses import action_dir_kld
+
+    rng = np.random.RandomState(0)
+    for cov in (1.0, 0.5, 2.0):
+        mean = rng.randn(2, 4, A).astype(np.float32)
+        var = np.abs(rng.randn(2, 4, A)).astype(np.float32) + 0.1
+        dist = np.stack([mean, var], axis=2)  # (B, T, 2, A)
+
+        ref = ActionDirectionGaussKLD(cov=cov)
+        ref_val = float(ref(action_directions_dist=torch.from_numpy(dist)))
+        ours = float(action_dir_kld(
+            action_directions_dist=jnp.asarray(dist), cov=cov))
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5), cov
+
+
+def test_vq_dead_code_revival_on_unit_std_latents():
+    """Without revival, unit-std (latent_norm-scale) inputs leave most
+    codewords dead (init is +-1/num_embs); with revive_dead_codes every
+    cluster claims a codeword within a few EMA updates."""
+    from playslot_tpu.models.quantization import VectorQuantizer
+
+    K, dim = 5, 16
+    rng = np.random.RandomState(0)
+    centers = rng.randn(K, dim).astype(np.float32)
+    centers = (centers - centers.mean(-1, keepdims=True)) / \
+        centers.std(-1, keepdims=True)  # unit-std like normalized latents
+
+    def batch(i):
+        idx = rng.randint(0, K, size=64)
+        return centers[idx] + 0.05 * rng.randn(64, dim).astype(np.float32)
+
+    results = {}
+    for revive in (False, True):
+        q = VectorQuantizer(num_embs=K, emb_dim=dim, use_ema=True,
+                            revive_dead_codes=revive)
+        variables = q.init({"params": jax.random.PRNGKey(0),
+                            "action": jax.random.PRNGKey(1)},
+                           jnp.asarray(batch(0)), train=False)
+        vq = variables["vq"]
+        for i in range(60):
+            (_, _, _), upd = q.apply(
+                {"params": variables.get("params", {}), "vq": vq},
+                jnp.asarray(batch(i)), train=True, mutable=["vq"],
+                rngs={"action": jax.random.PRNGKey(100 + i)})
+            vq = upd["vq"]
+        counts = np.asarray(vq["ema_count"])
+        results[revive] = (counts > 0.1 * counts.sum() / K).sum()
+    assert results[True] == K, f"revival left dead codes: {results[True]}/{K}"
+    assert results[False] < K, \
+        "baseline unexpectedly covered all codes; revival test is vacuous"
+
+
+def test_batch_latent_norm_is_linear_gauge_fix():
+    """latent_norm="batch" divides by one EMA scalar: the normalized means
+    are an exact scalar multiple of the raw means (information-preserving,
+    unlike per-vector standardization), the scalar tracks the input scale
+    (O(1) output even for collapsed-scale inputs after EMA convergence),
+    and the EMA state lives in the "vq" collection."""
+    key = jax.random.PRNGKey(5)
+    raw = VQSingleSlotLatentAction(**LA_KW)
+    bat = VQSingleSlotLatentAction(latent_norm="batch", **LA_KW)
+    slots = jax.random.normal(key, (2, 5, S, D)) * 0.5
+    variables = bat.init({"params": key, "action": key}, slots, train=False)
+    assert "latent_scale" in variables["vq"], list(variables["vq"])
+
+    noise = jnp.zeros((2, 4, A))
+    out_raw = raw.apply({"params": variables["params"],
+                         "vq": {k: v for k, v in variables["vq"].items()
+                                if k == "quantizer"}},
+                        slots, noise=noise, train=False)
+    mu_raw = np.asarray(out_raw["action_dist"][:, :, 0], np.float64)
+
+    # run a few train steps so the EMA scalar converges toward the data rms
+    vq = variables["vq"]
+    for i in range(80):
+        out_b, upd = bat.apply({"params": variables["params"], "vq": vq},
+                               slots, noise=noise, train=True, mutable=["vq"],
+                               rngs={"action": jax.random.PRNGKey(i)})
+        vq = upd["vq"]
+    scale = float(vq["latent_scale"])
+    rms = float(np.sqrt((mu_raw ** 2).mean()))
+    np.testing.assert_allclose(scale, rms, rtol=0.01)
+
+    # eval-mode output == raw mean / stored scale exactly (linear map)
+    out_e = bat.apply({"params": variables["params"], "vq": vq}, slots,
+                      noise=noise, train=False)
+    mu_norm = np.asarray(out_e["action_dist"][:, :, 0], np.float64)
+    np.testing.assert_allclose(mu_norm, mu_raw / scale, rtol=1e-4, atol=1e-6)
+    # normalized rms is O(1)
+    np.testing.assert_allclose(float(np.sqrt((mu_norm ** 2).mean())), 1.0,
+                               rtol=0.02)
+
+
+def test_latent_det_quantizes_the_mean():
+    """latent_det=True: the quantizer input IS the action-direction mean —
+    no reparameterized noise — so the code index is a deterministic function
+    of the slots, while default mode still samples."""
+    key = jax.random.PRNGKey(7)
+    det = VQSingleSlotLatentAction(latent_det=True, **LA_KW)
+    variables, slots = _init(det, key)
+
+    out1 = det.apply(variables, slots, rngs={"action": jax.random.PRNGKey(1)},
+                     train=False)
+    out2 = det.apply(variables, slots, rngs={"action": jax.random.PRNGKey(2)},
+                     train=False)
+    # deterministic: rng does not change anything
+    np.testing.assert_array_equal(np.asarray(out1["sampled_latent_action"]),
+                                  np.asarray(out2["sampled_latent_action"]))
+    np.testing.assert_array_equal(
+        np.asarray(out1["sampled_latent_action"]),
+        np.asarray(out1["action_dist"][:, :, 0]))
+
+    # default mode with the same params DOES depend on the rng
+    base = VQSingleSlotLatentAction(**LA_KW)
+    s1 = base.apply(variables, slots, rngs={"action": jax.random.PRNGKey(1)},
+                    train=False)["sampled_latent_action"]
+    s2 = base.apply(variables, slots, rngs={"action": jax.random.PRNGKey(2)},
+                    train=False)["sampled_latent_action"]
+    assert np.abs(np.asarray(s1) - np.asarray(s2)).max() > 1e-4
+
+
+def test_matmul_precision_knob_reaches_train_steps(tmp_path):
+    """training.matmul_precision wires a jax.default_matmul_precision context
+    into every trainer's jitted step (regression: the InvDyn latent is a
+    difference of O(1) embeddings — default TPU precision noise can exceed
+    the whole signal)."""
+    from playslot_tpu.train.trainer import BaseTrainer
+
+    class Dummy(BaseTrainer):
+        def __init__(self, precision):
+            self.exp_params = {"training": ({"matmul_precision": precision}
+                                            if precision else {})}
+
+    import jax._src.config as jax_config
+    with Dummy("highest")._precision_ctx():
+        assert jax_config.config.jax_default_matmul_precision == "highest" \
+            or jax.config.jax_default_matmul_precision == "highest"
+    # unset -> nullcontext, no error and no change
+    with Dummy(None)._precision_ctx():
+        pass

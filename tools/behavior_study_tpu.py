@@ -122,20 +122,44 @@ def savi_cfg():
 USE_VARIABILITY = os.environ.get(
     "PLAYSLOT_STUDY_USE_VARIABILITY", "0") == "1"
 
+# predictor width/depth knobs — defaults are the round-2 study scale; the
+# production-scale hypothesis run (VERDICT r2 item 1b) sets EMB=256 LAYERS=4
+# HEADS=8 MLP=1024 to match the shipped ButtonPress architecture
+PRED_EMB = int(os.environ.get("PLAYSLOT_STUDY_PRED_EMB", "128"))
+PRED_LAYERS = int(os.environ.get("PLAYSLOT_STUDY_PRED_LAYERS", "2"))
+PRED_HEADS = int(os.environ.get("PLAYSLOT_STUDY_PRED_HEADS", "4"))
+PRED_MLP = int(os.environ.get("PLAYSLOT_STUDY_PRED_MLP", "256"))
+NUM_ACTIONS = int(os.environ.get("PLAYSLOT_STUDY_NUM_ACTIONS", "5"))
+ACTION_DIM = int(os.environ.get("PLAYSLOT_STUDY_ACTION_DIM", "16"))
+# Numerics knobs (round 3): the action latent is a DIFFERENCE of consecutive
+# O(1) frame embeddings at measured scale 1e-2..1e-3, so bf16-class rounding
+# noise on the embeddings can exceed the signal (catastrophic cancellation).
+# PRED_DTYPE switches the predictor-stage module dtype; PRECISION pins jax
+# matmul precision in the predictor AND behavior-cloning train steps (the
+# closed-loop evaluator has pinned "highest" since round 2).
+PRED_DTYPE = os.environ.get("PLAYSLOT_STUDY_PRED_DTYPE", "bfloat16")
+PRECISION = os.environ.get("PLAYSLOT_STUDY_PRECISION", "")
+
 PRED_CFG = {
     "predictor_name": "SlotSingleAction",
     "predictor_params": {
-        "num_actions": 5, "action_dim": 16, "slot_dim": 64,
+        "num_actions": NUM_ACTIONS, "action_dim": ACTION_DIM, "slot_dim": 64,
         "condition_mode": "sum", "use_variability": USE_VARIABILITY,
         "autoregressive_dynamics": True,
         "LatentAction": {"model_name": "VQSingleSlotLatentAction",
-                         "model_params": {"emb_dim": 128, "num_layers": 2,
-                                          "num_heads": 4, "head_dim": 32,
-                                          "mlp_dim": 256, "use_ema_vq": True}},
+                         "model_params": {"emb_dim": PRED_EMB,
+                                          "num_layers": PRED_LAYERS,
+                                          "num_heads": PRED_HEADS,
+                                          "head_dim": 32,
+                                          "mlp_dim": PRED_MLP,
+                                          "use_ema_vq": True}},
         "DynamicsModel": {"model_name": "SlotGPTDymamicsModel",
-                          "model_params": {"embed_dim": 128, "head_dim": 32,
-                                           "num_heads": 4, "mlp_size": 256,
-                                           "num_layers": 2, "context_length": 4,
+                          "model_params": {"embed_dim": PRED_EMB,
+                                           "head_dim": 32,
+                                           "num_heads": PRED_HEADS,
+                                           "mlp_size": PRED_MLP,
+                                           "num_layers": PRED_LAYERS,
+                                           "context_length": 4,
                                            "pos_enc_dropout": 0.0}},
     },
 }
@@ -149,22 +173,28 @@ BEH_CFG = {
 def probe_channel(cfg, pcfg, savi_params, pred_variables, batch=64):
     """Latent-action channel health (the round-2 collapse diagnostic,
     tools/probe_latent_actions.py): scale of the distilled latent target,
-    linear R^2 latent->GT action, codeword-usage entropy."""
+    linear R^2 latent->GT action, codeword-usage entropy, sampling-noise
+    scale, and R^2 of the DISCRETE code index alone (the whole channel in
+    use_variability=False mode). Runs at pinned "highest" matmul precision
+    so the probe measures the channel, not TPU rounding."""
     from playslot_tpu.data.gridshapes_jax import generate_scene_batch
     from playslot_tpu.models.factory import setup_model, setup_predictor
 
     savi = setup_model(cfg["model"])
     pred = setup_predictor(pcfg["predictor"],
                            savi_params=cfg["model"]["model_params"])
-    out = generate_scene_batch(jax.random.PRNGKey(5), batch=batch,
-                               num_frames=8, img_size=IMG, policy="random")
-    slots = savi.apply({"params": savi_params}, out["videos"], decode=False,
-                       rngs={"slots": jax.random.PRNGKey(0)})["slot_history"]
-    la = pred.apply(pred_variables, slots,
-                    rngs={"action": jax.random.PRNGKey(1)},
-                    method=lambda m, s: m.latent_action(s, train=False))
+    with jax.default_matmul_precision("highest"):
+        out = generate_scene_batch(jax.random.PRNGKey(5), batch=batch,
+                                   num_frames=8, img_size=IMG, policy="random")
+        slots = savi.apply({"params": savi_params}, out["videos"], decode=False,
+                           rngs={"slots": jax.random.PRNGKey(0)})["slot_history"]
+        la = pred.apply(pred_variables, slots,
+                        rngs={"action": jax.random.PRNGKey(1)},
+                        method=lambda m, s: m.latent_action(s, train=False))
     mu = np.asarray(la["action_dist"])[:, :, 0]
+    sigma = np.sqrt(np.maximum(np.asarray(la["action_dist"])[:, :, 1], 0))
     lat = np.asarray(la["sampled_latent_action"])
+    idxs = np.asarray(la["action_idxs"])[..., 0]
     acts = np.asarray(out["actions"])[:, :lat.shape[1]]
 
     def probe_r2(X, Y):
@@ -174,14 +204,18 @@ def probe_channel(cfg, pcfg, savi_params, pred_variables, batch=64):
         return 1 - resid / ((Y - Y.mean(0)) ** 2).sum()
 
     Y = acts.reshape(-1, acts.shape[-1])
+    num_actions = pcfg["predictor"]["predictor_params"]["num_actions"]
+    onehot = np.eye(num_actions)[idxs.reshape(-1)]
     usage = np.asarray(pred_variables.get("vq", {}).get(
         "latent_action", {}).get("quantizer", {}).get("usage_bins", []))
     return {
         "latent_std": round(float(mu.std()), 5),
+        "sigma_mean": round(float(sigma.mean()), 5),
         "r2_mean_to_action": round(float(probe_r2(
             mu.reshape(-1, mu.shape[-1]), Y)), 4),
         "r2_sampled_to_action": round(float(probe_r2(
             lat.reshape(-1, lat.shape[-1]), Y)), 4),
+        "r2_idx_to_action": round(float(probe_r2(onehot, Y)), 4),
         "usage_entropy": round(float(
             -(usage * np.log(np.maximum(usage, 1e-12))).sum()), 3)
         if usage.size else None,
@@ -337,12 +371,29 @@ def run_seed(seed):
     pcfg["dataset"]["target_walk"] = 0.0
     pcfg["predictor"] = copy.deepcopy(PRED_CFG)
     pcfg["predictor_loss"] = copy.deepcopy(DEFAULTS["predictor_loss"])
-    if "norm" in ANCHOR:
-        pcfg["predictor"]["predictor_params"]["LatentAction"][
-            "model_params"]["latent_norm"] = True
-    if "kld" in ANCHOR:
+    tokens = set(ANCHOR.split("+"))
+    la_params = pcfg["predictor"]["predictor_params"]["LatentAction"][
+        "model_params"]
+    if "norm" in tokens:   # per-vector standardization (measured: destroys
+        la_params["latent_norm"] = True  # the magnitude channel; kept for
+        # the study record — see NORM_RESULTS.json / NORMREV_RESULTS.json)
+    if "bnorm" in tokens:  # global EMA-rms gauge fix (linear, preserves
+        la_params["latent_norm"] = "batch"  # per-sample geometry)
+    if "revive" in tokens:
+        # measured requirement under the norm anchors: without revival the
+        # O(1)-scale latents leave 3/5 codes dead (usage entropy 0.71 vs
+        # the healthy 1.61 — codebook init is +-1/num_embs)
+        la_params["vq_revive_dead"] = True
+    if "det" in tokens:
+        # deterministic bottleneck: VQ the action-direction mean, no reparam
+        # noise (models/invdyn.py latent_det docstring)
+        la_params["latent_det"] = True
+    if "kld" in tokens:
         pcfg["predictor_loss"].append(
             {"type": "ActionDirKLD", "weight": KLD_W, "cov": KLD_COV})
+    pcfg["training"]["compute_dtype"] = PRED_DTYPE
+    if PRECISION:
+        pcfg["training"]["matmul_precision"] = PRECISION
     pcfg["prediction_params"] = {"num_context": 3, "num_preds": 5,
                                  "teacher_force": False, "sample_length": 8,
                                  "input_buffer_size": 8}
@@ -372,7 +423,8 @@ def run_seed(seed):
     bcfg["behavior_model"] = copy.deepcopy(BEH_CFG)
     bcfg["action_decoder"] = {
         "model_name": "MLPDecoder",
-        "model_params": {"in_dim": 16, "out_dim": 2, "hidden_dim": [64, 64]}}
+        "model_params": {"in_dim": ACTION_DIM, "out_dim": 2,
+                         "hidden_dim": [64, 64]}}
     bcfg["behavior_distill_target"] = "mean"
     bcfg["behavior_loss"] = [
         {"type": "latent_action_mse", "weight": 1.0},
@@ -437,7 +489,10 @@ def main():
                    "max_steps": MAX_STEPS, "seeds": SEEDS,
                    "anchor": ANCHOR, "kld_w": KLD_W, "kld_cov": KLD_COV,
                    "pred_epochs": PRED_EPOCHS, "pred_name": PRED_NAME,
-                   "use_variability": USE_VARIABILITY},
+                   "use_variability": USE_VARIABILITY,
+                   "pred_emb": PRED_EMB, "pred_layers": PRED_LAYERS,
+                   "action_dim": ACTION_DIM,
+                   "pred_dtype": PRED_DTYPE, "precision": PRECISION or None},
         "per_seed": per_seed,
         "aggregate": {k: agg(k) for k in (
             "savi_psnr", "savi_miou", "savi_dedicated_target",
