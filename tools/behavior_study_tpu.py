@@ -84,6 +84,19 @@ SAVI_TARGET_R2_BAR = float(
 # embeddings needs the AGENT position crisply decodable, the oracle's
 # transformer does not. 0 disables (round-2 behavior).
 SAVI_MIN_R2_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_R2", "0"))
+# Bar on the channel SNR of a SAVi candidate: the fraction of slot-DIFFERENCE
+# variance explained by the ground-truth action (tools/probe_slotdiff_channel)
+# on the predictor's training distribution. Round-3 evidence this is the
+# binding criterion per-frame probes cannot see: seed 2's fresh SAVi passed
+# every per-frame bar (all probes >=0.91, dedicated slot 0.95, oracle 1.0)
+# yet 5 independent predictor runs all produced a dead channel (R^2 0.06) —
+# its slot differences carry 2x the jitter (mean |diff| 0.10 vs 0.05) and
+# the action explains only 0.17% of their variance (vs 0.68%/2.2% on the
+# working seeds 0/1), so the 5-code VQ spends its capacity on jitter.
+# Measured decision boundary: snr 0.0068 -> channel 0.74; 0.0222 -> 0.89;
+# 0.0017 -> 0.06. Bar default 0 disables; 0.005 separates the measured
+# outcomes with margin.
+SAVI_MIN_SNR_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_SNR", "0"))
 # Best-of-k predictor selection gated on the latent-channel probe (the
 # analogue of the SAVi probe selection): the channel bootstrap is init-
 # sensitive — round-3 seed 2 formed a wide (std 0.26) but information-free
@@ -277,23 +290,37 @@ def run_seed(seed):
     # ---------------------------------------------------------- 1: SAVi
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from probe_slot_binding import collect, ownership, position_probe
+    from probe_slotdiff_channel import slotdiff_r2
     from playslot_tpu.models.factory import setup_model
 
     def binding_score(savi_params, savi_f32):
-        """(dedicated_target_frac, target probe R^2, all R^2) on f32."""
+        """(dedicated_target_frac, target probe R^2, all R^2, channel snr)
+        on f32. snr = action->slot-difference explained variance on the
+        predictor's training distribution (see SAVI_MIN_SNR_BAR) — computed
+        only when its bar is active (it costs one extra fwd sweep)."""
         X, assign, gt = collect(savi_f32, savi_params, batches=4,
                                 img_size=IMG, target_walk=0.0)
         _, dedicated = ownership(assign, gt, NUM_SLOTS)
         r2 = position_probe(X, gt, IMG)
-        return float(dedicated), float(min(r2[2], r2[3])), [float(v) for v in r2]
+        snr = slotdiff_r2(savi_f32, savi_params, img_size=IMG)[1] \
+            if SAVI_MIN_SNR_BAR > 0 else None
+        return (float(dedicated), float(min(r2[2], r2[3])),
+                [float(v) for v in r2], snr)
 
-    def savi_score(tgt_r2, dedicated, r2):
-        """Candidate ranking: when the all-coordinate bar is active, rank on
-        the min over agent AND target R^2 (see SAVI_MIN_R2_BAR)."""
+    def savi_score(tgt_r2, dedicated, r2, snr):
+        """Candidate ranking: when the SNR bar is active, rank on (passes
+        the probe bars, snr) — the SNR is the measured decision variable
+        for whether the latent-action channel can form; the probe floor
+        keeps control of the policy-relevant readouts. Without the SNR bar,
+        rank on the probe R^2 (round-2 behavior)."""
+        if SAVI_MIN_SNR_BAR > 0:
+            return (min(r2) >= SAVI_MIN_R2_BAR
+                    and tgt_r2 >= SAVI_TARGET_R2_BAR, snr)
         return (min(r2) if SAVI_MIN_R2_BAR > 0 else tgt_r2, dedicated)
 
-    def savi_passes(tgt_r2, r2):
-        return tgt_r2 >= SAVI_TARGET_R2_BAR and min(r2) >= SAVI_MIN_R2_BAR
+    def savi_passes(tgt_r2, r2, snr):
+        return (tgt_r2 >= SAVI_TARGET_R2_BAR and min(r2) >= SAVI_MIN_R2_BAR
+                and (snr is None or snr >= SAVI_MIN_SNR_BAR))
 
     if reuse_savi:
         from playslot_tpu.utils.checkpoint import load_checkpoint
@@ -301,9 +328,10 @@ def run_seed(seed):
         cfg = Config.load(exp)
         savi_params = load_checkpoint(savi_ckpt)["state"]["params"]
         savi_f32 = setup_model(cfg["model"])
-        dedicated, tgt_r2, r2 = binding_score(savi_params, savi_f32)
+        dedicated, tgt_r2, r2, snr = binding_score(savi_params, savi_f32)
         out.update(savi_target_r2=tgt_r2, savi_dedicated_target=dedicated,
-                   savi_probe_r2=[round(v, 3) for v in r2], savi_reused=True)
+                   savi_probe_r2=[round(v, 3) for v in r2], savi_reused=True,
+                   savi_channel_snr=snr)
         log(f"[seed {seed}] reused SAVi: dedicated_target={dedicated:.2f} "
             f"target_r2={tgt_r2:.3f}")
     else:
@@ -324,20 +352,24 @@ def run_seed(seed):
             miou = float(savi_res.get("miou", {}).get("mean", -1))
             psnr = float(savi_res["psnr"]["mean"])
             savi_f32 = setup_model(cfg["model"])  # probe at f32
-            dedicated, tgt_r2, r2 = binding_score(tr.state.params, savi_f32)
+            dedicated, tgt_r2, r2, snr = binding_score(tr.state.params,
+                                                       savi_f32)
             attempts.append({"miou": round(miou, 3), "psnr": round(psnr, 2),
                              "dedicated_target": round(dedicated, 3),
-                             "probe_r2": [round(v, 3) for v in r2]})
+                             "probe_r2": [round(v, 3) for v in r2],
+                             "channel_snr": None if snr is None
+                             else round(snr, 4)})
             log(f"[seed {seed}] SAVi attempt {attempt}: psnr={psnr:.2f} "
                 f"miou={miou:.3f} dedicated_target={dedicated:.2f} "
-                f"target_r2={tgt_r2:.3f}")
-            score = savi_score(tgt_r2, dedicated, r2)
+                f"target_r2={tgt_r2:.3f} snr={snr}")
+            score = savi_score(tgt_r2, dedicated, r2, snr)
             if best is None or score > best[0]:
-                best = (score, miou, psnr, tr, dedicated, tgt_r2)
-            if savi_passes(tgt_r2, r2):
+                best = (score, miou, psnr, tr, dedicated, tgt_r2, snr)
+            if savi_passes(tgt_r2, r2, snr):
                 break
         _, out["savi_miou"], out["savi_psnr"], tr, \
-            out["savi_dedicated_target"], out["savi_target_r2"] = best
+            out["savi_dedicated_target"], out["savi_target_r2"], \
+            out["savi_channel_snr"] = best
         out["savi_attempts"] = attempts
         tr.save("checkpoint_epoch_final")  # disk ckpt = the selected candidate
         savi_params = tr.state.params
