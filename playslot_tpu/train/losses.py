@@ -61,8 +61,21 @@ def vq_loss(quant_loss=None, commit_loss=None, beta=0.25, **_):
     }
 
 
+def slot_smoothness(slot_history=None, **_):
+    """Mean squared temporal slot difference — TPU-framework EXTENSION (no
+    reference counterpart). Dampens frame-to-frame slot jitter, the measured
+    killer of the latent-action channel: on the failing study seed the GT
+    action explained only 0.17% of slot-difference variance vs 0.7-2.2% on
+    working seeds (docs/BEHAVIOR_STUDY.md round-3 forensics,
+    tools/probe_slotdiff_channel.py). Keep the weight small: genuine object
+    motion lives in the same differences."""
+    d = slot_history[:, 1:] - slot_history[:, :-1]
+    return jnp.mean(d * d)
+
+
 LOSS_DICT = {
     "mse": mse_loss,
+    "slot_smoothness": slot_smoothness,
     "pred_img_mse": pred_img_mse,
     "pred_slot_mse": pred_slot_mse,
     "latent_action_mse": latent_action_mse,

@@ -264,7 +264,8 @@ class SAViTrainer(BaseTrainer):
                 out = model.apply({"params": params}, videos, train=True,
                                   rngs={"slots": key})
                 total, ldict = compute_losses(
-                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
+                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos,
+                    slot_history=out["slot_history"])
                 return total, ldict
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -282,7 +283,8 @@ class SAViTrainer(BaseTrainer):
                 out = model.apply({"params": state.params}, videos,
                                   rngs={"slots": key})
                 _, ldict = compute_losses(
-                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos)
+                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos,
+                    slot_history=out["slot_history"])
                 return ldict
 
         self._train_step = train_step

@@ -97,6 +97,11 @@ SAVI_MIN_R2_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_R2", "0"))
 # 0.0017 -> 0.06. Bar default 0 disables; 0.005 separates the measured
 # outcomes with margin.
 SAVI_MIN_SNR_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_SNR", "0"))
+# Weight for the slot_smoothness EXTENSION loss in SAVi training
+# (train/losses.py): dampens the frame-to-frame slot jitter that the SNR
+# bar measures, attacking the cause instead of rejecting candidates.
+# 0 disables (reference-parity loss config).
+SAVI_SMOOTH_W = float(os.environ.get("PLAYSLOT_STUDY_SAVI_SMOOTH", "0"))
 # Best-of-k predictor selection gated on the latent-channel probe (the
 # analogue of the SAVi probe selection): the channel bootstrap is init-
 # sensitive — round-3 seed 2 formed a wide (std 0.26) but information-free
@@ -267,6 +272,10 @@ def run_seed(seed):
     if not reuse_savi:
         cfg = Config(exp_path=exp, **copy.deepcopy(DEFAULTS))
         cfg["model"] = {"model_name": "SAVi", "model_params": savi_cfg()}
+        if SAVI_SMOOTH_W > 0:
+            cfg["loss"] = [{"type": "mse", "weight": 1.0},
+                           {"type": "slot_smoothness",
+                            "weight": SAVI_SMOOTH_W}]
         from playslot_tpu.data.gridshapes_jax import SCENE_VERSION
         cfg["dataset"].update({
             "dataset_name": "GridShapesOnDevice_SceneRandom", "num_frames": 8,
@@ -561,7 +570,9 @@ def main():
                    "use_variability": USE_VARIABILITY,
                    "pred_emb": PRED_EMB, "pred_layers": PRED_LAYERS,
                    "action_dim": ACTION_DIM,
-                   "pred_dtype": PRED_DTYPE, "precision": PRECISION or None},
+                   "pred_dtype": PRED_DTYPE, "precision": PRECISION or None,
+                   "savi_min_snr": SAVI_MIN_SNR_BAR,
+                   "savi_smooth_w": SAVI_SMOOTH_W},
         "per_seed": per_seed,
         "aggregate": {k: agg(k) for k in (
             "savi_psnr", "savi_miou", "savi_dedicated_target",
