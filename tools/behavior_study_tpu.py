@@ -158,10 +158,16 @@ USE_VARIABILITY = os.environ.get(
 
 # predictor width/depth knobs — defaults are the round-2 study scale; the
 # production-scale hypothesis run (VERDICT r2 item 1b) sets EMB=256 LAYERS=4
-# HEADS=8 MLP=1024 to match the shipped ButtonPress architecture
+# HEADS=8 LA_HEADS=4 HEAD_DIM=64 MLP=1024 ACTIONS=8 ACTION_DIM=24 to match
+# the shipped ButtonPress architecture exactly
+# (/root/reference/experiments/ButtonPress/predictors/PlaySlot/
+#  experiment_params.json: LA 4 heads x 64, DM 8 heads x 64)
 PRED_EMB = int(os.environ.get("PLAYSLOT_STUDY_PRED_EMB", "128"))
 PRED_LAYERS = int(os.environ.get("PLAYSLOT_STUDY_PRED_LAYERS", "2"))
 PRED_HEADS = int(os.environ.get("PLAYSLOT_STUDY_PRED_HEADS", "4"))
+PRED_LA_HEADS = int(os.environ.get("PLAYSLOT_STUDY_PRED_LA_HEADS",
+                                   str(PRED_HEADS)))
+PRED_HEAD_DIM = int(os.environ.get("PLAYSLOT_STUDY_PRED_HEAD_DIM", "32"))
 PRED_MLP = int(os.environ.get("PLAYSLOT_STUDY_PRED_MLP", "256"))
 NUM_ACTIONS = int(os.environ.get("PLAYSLOT_STUDY_NUM_ACTIONS", "5"))
 ACTION_DIM = int(os.environ.get("PLAYSLOT_STUDY_ACTION_DIM", "16"))
@@ -183,13 +189,13 @@ PRED_CFG = {
         "LatentAction": {"model_name": "VQSingleSlotLatentAction",
                          "model_params": {"emb_dim": PRED_EMB,
                                           "num_layers": PRED_LAYERS,
-                                          "num_heads": PRED_HEADS,
-                                          "head_dim": 32,
+                                          "num_heads": PRED_LA_HEADS,
+                                          "head_dim": PRED_HEAD_DIM,
                                           "mlp_dim": PRED_MLP,
                                           "use_ema_vq": True}},
         "DynamicsModel": {"model_name": "SlotGPTDymamicsModel",
                           "model_params": {"embed_dim": PRED_EMB,
-                                           "head_dim": 32,
+                                           "head_dim": PRED_HEAD_DIM,
                                            "num_heads": PRED_HEADS,
                                            "mlp_size": PRED_MLP,
                                            "num_layers": PRED_LAYERS,
@@ -569,6 +575,9 @@ def main():
                    "pred_epochs": PRED_EPOCHS, "pred_name": PRED_NAME,
                    "use_variability": USE_VARIABILITY,
                    "pred_emb": PRED_EMB, "pred_layers": PRED_LAYERS,
+                   "pred_heads": PRED_HEADS, "pred_la_heads": PRED_LA_HEADS,
+                   "pred_head_dim": PRED_HEAD_DIM, "pred_mlp": PRED_MLP,
+                   "num_actions": NUM_ACTIONS,
                    "action_dim": ACTION_DIM,
                    "pred_dtype": PRED_DTYPE, "precision": PRECISION or None,
                    "savi_min_snr": SAVI_MIN_SNR_BAR,
