@@ -176,14 +176,23 @@ class SAVi(nn.Module):
         # one batched conv encode over all frames (MXU-friendly)
         frames = x[:, :num_imgs].reshape(B * num_imgs, *x.shape[2:])
         feats = self.encode(frames, train=train)
-        feats = feats.reshape(B, num_imgs, *feats.shape[1:])
+
+        # slot-attention input projections (LayerNorm + k/v) depend only on
+        # the features — hoist them out of the recurrence and project all
+        # frames in one batched matmul: same per-element math as per-frame
+        # projection (parity-tested, tests/test_encoder_s2d_path.py), 21x
+        # fewer dispatched matmuls; bench-neutral latency (XLA already
+        # pipelines the unrolled loop well — docs/PERFORMANCE.md encode)
+        k, v = self.slot_attention.project_inputs(feats)
+        k = k.reshape(B, num_imgs, *k.shape[1:])
+        v = v.reshape(B, num_imgs, *v.shape[1:])
 
         # recurrent slot correction (static unrolled loop)
         predicted_slots = self.initial_slots(batch_size=B, **initializer_kwargs)
         slot_history = []
         for t in range(num_imgs):
-            slots, _ = self.correct(feats[:, t], predicted_slots,
-                                    first=(t == 0), train=train)
+            slots, _ = self.slot_attention.iterate(
+                k[:, t], v[:, t], predicted_slots, first=(t == 0), train=train)
             predicted_slots = self.predict_next(slots)
             slot_history.append(slots)
         slot_history = jnp.stack(slot_history, axis=1)  # (B, T, S, D)
