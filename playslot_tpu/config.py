@@ -159,6 +159,15 @@ class Config(dict):
             "model_params": get_model_config(model_name),
         }
         cfg["dataset"].update(get_dataset_config(dataset_name))
+        if str(cfg["dataset"].get("dataset_name", "")).startswith(
+                "GridShapesOnDevice"):
+            # stamp the generated-scene version at creation time so artifacts
+            # trained on different scene generations stay identifiable (the
+            # generator refuses configs from another version — see the scene
+            # changelog in data/gridshapes_jax.py). Never backfilled: an old
+            # config without the key predates version tagging by definition.
+            from playslot_tpu.data.gridshapes_jax import SCENE_VERSION
+            cfg["dataset"].setdefault("scene_version", SCENE_VERSION)
         return cfg
 
     def add_predictor_parameters(self, predictor_name):

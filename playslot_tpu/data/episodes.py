@@ -38,6 +38,7 @@ class EpisodeFrameDataset:
         self.sample_rate = sample_rate
         self.root = self._resolve_root()
         self.episodes = self._scan_episodes()
+        self._native_size_ok = None  # lazily probed in _use_native
         span = (num_frames - 1) * sample_rate + 1
         if split == "train" and random_start:
             self.seq_per_episode = max(self.ep_len - span + 1, 1)
@@ -72,17 +73,38 @@ class EpisodeFrameDataset:
         arr = np.asarray(img, np.float32)[..., :3] / 255.0
         return arr
 
+    @staticmethod
+    def _png_dims(path):
+        """(width, height) from the PNG IHDR header, or None if not a PNG."""
+        try:
+            with open(path, "rb") as f:
+                head = f.read(24)
+            if head[:8] != b"\x89PNG\r\n\x1a\n" or head[12:16] != b"IHDR":
+                return None
+            return (int.from_bytes(head[16:20], "big"),
+                    int.from_bytes(head[20:24], "big"))
+        except OSError:
+            return None
+
     def _use_native(self):
         """Native C++ batch decoder (native/frameloader.cpp) is the default
         production path when buildable; PLAYSLOT_NATIVE_LOADER=0 forces PIL.
-        Note the native resize is bilinear vs PIL's bicubic default — at the
-        shipped configs frames are stored at the target 64x64 so no resample
-        happens and the two paths are byte-identical (tested in
-        tests/test_misc_components.py)."""
+        The native resize is bilinear vs PIL's bicubic default, so the
+        native path is used ONLY when the stored frame size already equals
+        img_size (the shipped-config case — no resample, byte-identical
+        output, tested in tests/test_misc_components.py); datasets stored at
+        any other resolution take the PIL path, matching the reference's
+        bicubic resample exactly."""
         if os.environ.get("PLAYSLOT_NATIVE_LOADER", "1") == "0":
             return False
         from playslot_tpu.data import native_loader
-        return native_loader.available()
+        if not native_loader.available():
+            return False
+        if self._native_size_ok is None:
+            dims = (self._png_dims(self.episodes[0][0])
+                    if self.episodes and self.episodes[0] else None)
+            self._native_size_ok = dims == tuple(self.img_size)
+        return self._native_size_ok
 
     def __getitem__(self, index):
         ep = index // self.seq_per_episode

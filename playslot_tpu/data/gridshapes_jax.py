@@ -185,10 +185,12 @@ class DeviceBatchIterator:
 
 _RED = jnp.asarray(np.array(COLORS["red"], np.float32) / 255.0)
 
-# Scene changelog (version recorded in experiment_params["dataset"]
-# ["scene_version"] by the on-device wrappers, so artifacts trained on
-# different scene generations are identifiable — identical config+seed does
-# NOT reproduce across versions):
+# Scene changelog. The version is stamped into experiment_params["dataset"]
+# ["scene_version"] when an on-device GridShapes experiment is created
+# (Config.new_experiment) and validated by GridShapesExpertOnDevice.__init__,
+# so artifacts trained on different scene generations are identifiable —
+# identical config+seed does NOT reproduce across versions. Configs that
+# predate the tagging have no key and skip validation:
 #   1: CSS "green" target (0, 0.502, 0); no target respawn.
 #   2 (current): full-brightness target (0, 1, 0) — CSS green is half the
 #      agent's contrast against the black background and slot attention

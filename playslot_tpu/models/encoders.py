@@ -74,10 +74,14 @@ class SimpleConvEncoder(nn.Module):
         return self.hidden_dims[-1]
 
     def _s2d_eligible(self, x, f=2):
-        """s2d form covers plain stride-1 SAME conv stacks (no BN/pool)."""
+        """s2d form covers plain stride-1 SAME conv stacks (no BN/pool) with
+        odd kernels — even kernels pad asymmetrically in the ConvBlock path
+        ((k//2, k//2) both sides changes the output size), which the
+        symmetric s2d kernel construction does not reproduce."""
         H, W = x.shape[-3], x.shape[-2]
         return (self.stride == 1 and not self.batch_norm
                 and not self.downsample_encoder
+                and self.kernel_size % 2 == 1
                 and H % f == 0 and W % f == 0 and min(H, W) >= 2 * f)
 
     @nn.compact

@@ -29,26 +29,33 @@ _AUTO_DEFAULTS = {
 def use_pallas(kernel=None):
     """Whether the given kernel (or any kernel, if None) should dispatch to
     its Pallas implementation. Global switch PLAYSLOT_USE_PALLAS=auto|1|0|
-    interpret; per-kernel override PLAYSLOT_PALLAS_<KERNEL>=0|1 consulted in
-    every mode except the global '0' kill switch."""
+    interpret; per-kernel override PLAYSLOT_PALLAS_<KERNEL>=0|1. "0"
+    overrides win in every mode except the global "0" kill switch; "1"
+    overrides win in forced modes and on TPU in auto mode (auto never
+    dispatches compiled Pallas onto a non-TPU host)."""
     mode = os.environ.get("PLAYSLOT_USE_PALLAS", "auto")
     if mode == "0":
         return False
     if kernel is not None and kernel not in _AUTO_DEFAULTS:
         raise ValueError(f"Unknown Pallas kernel name {kernel!r}; "
                          f"known: {sorted(_AUTO_DEFAULTS)}")
-    if kernel is not None:
-        override = os.environ.get(f"PLAYSLOT_PALLAS_{kernel.upper()}")
-        if override in ("0", "1"):
-            return override == "1"
+    override = (os.environ.get(f"PLAYSLOT_PALLAS_{kernel.upper()}")
+                if kernel is not None else None)
+    if override == "0":
+        return False
     if mode in ("1", "interpret"):
         return True
+    # auto mode: Pallas only on TPU backends — a per-kernel "1" override
+    # selects the kernel there but must not force compiled-Pallas onto a
+    # CPU/GPU host (use PLAYSLOT_USE_PALLAS=interpret for hermetic CPU runs)
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:
         return False
     if not on_tpu:
         return False
+    if override == "1":
+        return True
     if kernel is not None:
         return _AUTO_DEFAULTS[kernel]
     return True

@@ -30,6 +30,15 @@ def test_create_experiment_tree(exp_root):
     assert params["model"]["model_params"]["num_slots"] == 8
     assert params["dataset"]["dataset_name"] == "GridShapes"
 
+    # on-device generated datasets get the scene version stamped at creation
+    # (provenance across scene generations — data/gridshapes_jax.py changelog)
+    from playslot_tpu.data.gridshapes_jax import SCENE_VERSION
+    dev_path = create_experiment([
+        "-d", "Suite", "--name", "run_dev",
+        "--dataset_name", "GridShapesOnDevice_SceneRandom"])
+    dparams = json.load(open(os.path.join(dev_path, "experiment_params.json")))
+    assert dparams["dataset"]["scene_version"] == SCENE_VERSION
+
     pred_path = create_predictor_experiment([
         "-d", exp_path, "--name", "PlaySlot",
         "--predictor_name", "SlotSingleAction"])

@@ -75,6 +75,7 @@ def test_s2d_encoder_grad_matches(monkeypatch):
     (dict(hidden_dims=(8, 8), kernel_size=5, downsample_encoder=True),
      (2, 16, 16, 3)),
     (dict(hidden_dims=(8, 8), kernel_size=5), (2, 15, 16, 3)),  # odd H
+    (dict(hidden_dims=(8, 8), kernel_size=4), (2, 16, 16, 3)),  # even kernel
 ])
 def test_s2d_ineligible_configs_fall_back(monkeypatch, enc_kw, shape):
     """BN / strided / pooled / odd-size stacks must take the ConvBlock path

@@ -139,6 +139,14 @@ def test_dispatch_per_kernel_override_in_forced_mode(monkeypatch):
     monkeypatch.setenv("PLAYSLOT_USE_PALLAS", "auto")
     with pytest.raises(ValueError):
         use_pallas("no_such_kernel")
+    # auto mode never dispatches compiled Pallas onto a non-TPU host, even
+    # with a per-kernel "1" override (that's what interpret mode is for) —
+    # the suite runs on CPU, so the override must NOT flip this to True
+    monkeypatch.delenv("PLAYSLOT_PALLAS_VQ", raising=False)
+    monkeypatch.setenv("PLAYSLOT_PALLAS_BLOCK_CAUSAL", "1")
+    assert use_pallas("block_causal") is False
+    monkeypatch.setenv("PLAYSLOT_USE_PALLAS", "interpret")
+    assert use_pallas("block_causal") is True
 
 
 def test_action_dir_kld_matches_reference_golden():

@@ -178,6 +178,42 @@ def test_episode_dataset_with_native_loader(tmp_path, monkeypatch):
     np.testing.assert_allclose(video_native, video_pil, atol=1e-6)
 
 
+def test_native_loader_skipped_when_resample_needed(tmp_path, monkeypatch):
+    """Frames stored at a different resolution than img_size must take the
+    PIL path (bicubic, reference-exact) — the native loader's bilinear
+    resize is only byte-identical when no resample happens."""
+    from PIL import Image
+    from playslot_tpu.data.episodes import BlockPush
+    rng_np = np.random.RandomState(2)
+    d = tmp_path / "train" / "0"
+    os.makedirs(d)
+    for t in range(3):
+        arr = (rng_np.rand(128, 128, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(d / f"{t:02d}.png"))
+    ds = BlockPush(split="train", datapath=str(tmp_path), ep_len=3,
+                   num_frames=3, random_start=True, img_size=(64, 64))
+    monkeypatch.setenv("PLAYSLOT_NATIVE_LOADER", "1")
+    assert not ds._use_native()  # 128px source vs 64px target -> PIL
+    monkeypatch.setenv("PLAYSLOT_NATIVE_LOADER", "0")
+    video_pil, _, _ = ds[0]
+    monkeypatch.setenv("PLAYSLOT_NATIVE_LOADER", "1")
+    video_auto, _, _ = ds[0]
+    assert video_auto.shape == (3, 64, 64, 3)
+    np.testing.assert_array_equal(video_auto, video_pil)
+
+    # matched-size tree still elects the native path when buildable
+    from playslot_tpu.data import native_loader
+    if native_loader.available():
+        d2 = tmp_path / "same" / "train" / "0"
+        os.makedirs(d2)
+        for t in range(3):
+            arr = (rng_np.rand(64, 64, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(d2 / f"{t:02d}.png"))
+        ds2 = BlockPush(split="train", datapath=str(tmp_path / "same"),
+                        ep_len=3, num_frames=3, img_size=(64, 64))
+        assert ds2._use_native()
+
+
 def test_data_parallel_savi_training(tmp_path):
     """SAVi trainer with training.data_parallel_devices=4 on virtual devices:
     batch sharded over the mesh, params replicated, loss finite."""

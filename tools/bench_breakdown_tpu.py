@@ -29,33 +29,17 @@ Writes docs/BENCH_BREAKDOWN.json and prints the ledger.
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
+from _bench_util import relay_overhead_ms, setup, timed
+
+jax = setup()
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
 from bench import BATCH, COMPUTE_DTYPE, NUM_PREDS, NUM_SEED, build_models
-
-
-def timed(fn, *args, iters=8):
-    """Median wall time of fn(*args) with a scalar fetch per call."""
-    out = float(fn(*args))  # compile + warm
-    assert np.isfinite(out), out
-    ts = []
-    for _ in range(iters):
-        t0 = time.time()
-        float(fn(*args))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) * 1000.0
 
 
 def main():
@@ -77,9 +61,7 @@ def main():
 
     ledger = {}
 
-    # relay overhead: trivial program + scalar fetch
-    tiny = jnp.ones((8, 8))
-    ledger["relay_overhead_ms"] = timed(jax.jit(lambda x: jnp.sum(x)), tiny)
+    ledger["relay_overhead_ms"] = relay_overhead_ms()
 
     # ---- phase 1: encode
     @jax.jit

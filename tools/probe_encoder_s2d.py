@@ -15,19 +15,15 @@ Decision input only — not a production path. Writes nothing.
 
 import os
 import sys
-import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
+from _bench_util import relay_overhead_ms, setup, timed
+
+jax = setup()
 import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 from playslot_tpu.ops.s2d_conv import s2d_conv_block, space_to_depth, depth_to_space
 
@@ -37,17 +33,6 @@ CH = [3, 32, 32, 32, 32]
 DT = jnp.bfloat16
 
 
-def timed(fn, *args, iters=8):
-    out = float(fn(*args))
-    assert np.isfinite(out), out
-    ts = []
-    for _ in range(iters):
-        t0 = time.time()
-        float(fn(*args))
-        ts.append(time.time() - t0)
-    return float(np.median(ts)) * 1000.0
-
-
 def main():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(M, H, W, CH[0]), DT)
@@ -55,8 +40,7 @@ def main():
           for i in range(4)]
     bs = [jnp.asarray(rng.randn(CH[i + 1]) * 0.05, DT) for i in range(4)]
 
-    tiny = jnp.ones((8, 8))
-    ov = timed(jax.jit(lambda t: jnp.sum(t)), tiny)
+    ov = relay_overhead_ms()
     print(f"relay overhead: {ov:.1f} ms")
 
     dn = ("NHWC", "HWIO", "NHWC")
