@@ -176,7 +176,11 @@ def predictor_wrapper_rollout(apply_fn, slot_history, num_context, num_preds,
     Capability parity with reference predictor_wrappers.py:44-124, as a pure
     function over the applied predictor (statically unrolled; jit-friendly).
 
-    apply_fn: slots (B, T, S, D) -> (B, T, S, D) one-step-ahead predictions.
+    apply_fn: (slots (B, T, S, D), step: int) -> (B, T, S, D) one-step-ahead
+    predictions. The static step index lets training callers fold a fresh
+    dropout rng per autoregressive step (the reference's PredictorWrapper
+    draws fresh noise on every forward; a fixed rngs dict would repeat the
+    same mask whenever the sliding buffer shape repeats).
     Returns (B, num_preds_out, S, D).
     """
     buffer_size = max(input_buffer_size or num_context, num_context)
@@ -186,7 +190,7 @@ def predictor_wrapper_rollout(apply_fn, slot_history, num_context, num_preds,
     buf = slot_history[:, :start]
     preds = []
     for t in range(n_steps):
-        cur = apply_fn(buf)[:, -1]
+        cur = apply_fn(buf, t)[:, -1]
         preds.append(cur)
         nxt = slot_history[:, start + t] if teacher_force else cur
         buf = jnp.concatenate([buf, nxt[:, None]], axis=1)

@@ -34,6 +34,10 @@ def use_pallas(kernel=None):
     overrides win in forced modes and on TPU in auto mode (auto never
     dispatches compiled Pallas onto a non-TPU host)."""
     mode = os.environ.get("PLAYSLOT_USE_PALLAS", "auto")
+    if mode not in ("auto", "0", "1", "interpret"):
+        raise ValueError(
+            f"PLAYSLOT_USE_PALLAS={mode!r} is not a valid mode; "
+            f"use auto|0|1|interpret")
     if mode == "0":
         return False
     if kernel is not None and kernel not in _AUTO_DEFAULTS:

@@ -62,14 +62,17 @@ def _pallas_forward(q, k, v, num_slots, interpret):
 
 def _xla_reference(q, k, v, num_slots):
     """Staircase-masked attention in plain XLA — the math of the masked
-    MultiHeadAttention path, used to derive the backward pass."""
+    MultiHeadAttention path, used to derive the backward pass. The mask is
+    ops.masks.build_slot_causal_mask (one source of truth with the module
+    path), not a local re-derivation."""
+    from playslot_tpu.ops.masks import build_slot_causal_mask
+
     T = q.shape[1]
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("btd,bkd->btk", q, k,
                         preferred_element_type=jnp.float32) * scale
-    frame_q = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0) // num_slots
-    frame_k = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) // num_slots
-    logits = jnp.where(frame_k <= frame_q, logits, jnp.float32(-1e9))
+    mask = build_slot_causal_mask(T // num_slots, num_slots, dtype=jnp.bool_)
+    logits = jnp.where(mask, logits, jnp.float32(-1e9))
     attn = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("btk,bkd->btd", attn.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)

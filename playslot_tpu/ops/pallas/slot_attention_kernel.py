@@ -71,17 +71,15 @@ def _pallas_forward(q, k, v, epsilon, interpret):
 
 
 def _xla_reference(q, k, v, epsilon):
-    """The exact math of ops.slot_attention.slot_attention_iteration (XLA),
-    used to derive the backward pass of the custom_vjp below — gradients of
-    the Pallas path therefore match the XLA fallback to float tolerance."""
-    scale = q.shape[-1] ** -0.5
-    dots = jnp.einsum("bsd,bnd->bsn", q, k,
-                      preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(dots, axis=1) + epsilon
-    attn_renorm = attn / jnp.sum(attn, axis=-1, keepdims=True)
-    updates = jnp.einsum("bsn,bnd->bsd", attn_renorm.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
-    return updates, attn
+    """ops.slot_attention.slot_attention_iteration's XLA math (one source of
+    truth — called with allow_pallas=False so it can't recurse here), used to
+    derive the backward pass of the custom_vjp below: gradients of the Pallas
+    path therefore match the XLA fallback to float tolerance by construction,
+    and any future change to the fallback changes this backward with it."""
+    from playslot_tpu.ops.slot_attention import slot_attention_iteration
+
+    return slot_attention_iteration(q, k, v, epsilon=epsilon,
+                                    allow_pallas=False)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

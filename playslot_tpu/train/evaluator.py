@@ -103,8 +103,14 @@ class PlaySlotEvaluator:
         self.num_preds = num_preds
         self.post_only = post_only
         self.num_samples = 1 if post_only else num_samples
-        self.batch_size = (batch_size or
-                           self.exp_params["training"]["batch_size"]) if post_only else 1
+        # full stochastic eval (num_samples rollouts, all decoded) defaults
+        # to batch 1 for its working-set size, but an explicit batch_size
+        # always wins; post_only defaults to the training batch size
+        if batch_size:
+            self.batch_size = batch_size
+        else:
+            self.batch_size = (self.exp_params["training"]["batch_size"]
+                               if post_only else 1)
         self.results_name = results_name
         self.metrics = metrics
         # dataset must produce enough frames
@@ -162,11 +168,17 @@ class PlaySlotEvaluator:
         return jax.device_put(videos, NamedSharding(self.mesh, P("data")))
 
     def evaluate(self, max_batches=None, expert_policy=False):
+        # swap in the expert-demo dataset WITHOUT mutating the shared config
+        # (a later evaluate() on this instance must see the original dataset)
+        data_params = self.exp_params
         if expert_policy:
-            name = self.exp_params["dataset"]["dataset_name"]
+            name = data_params["dataset"]["dataset_name"]
             if not name.endswith("_ExpertDemos"):
-                self.exp_params["dataset"]["dataset_name"] = name + "_ExpertDemos"
-        ds = load_data(self.exp_params, split="test")
+                data_params = {**dict(self.exp_params),
+                               "dataset": {**self.exp_params["dataset"],
+                                           "dataset_name":
+                                               name + "_ExpertDemos"}}
+        ds = load_data(data_params, split="test")
         loader = build_data_loader(ds, batch_size=self.batch_size, shuffle=False)
 
         post_tracker = MetricTracker(self.metrics)
@@ -262,7 +274,7 @@ class OCVPEvaluator:
                 pred_slots = pred_slots[:, ns - 1:ns + npred - 1]
             else:
                 pred_slots = predictor_wrapper_rollout(
-                    lambda s: predictor.apply(pred_v, s), slots,
+                    lambda s, _t: predictor.apply(pred_v, s), slots,
                     num_context=ns, num_preds=npred,
                     input_buffer_size=buffer_size, teacher_force=False,
                     get_pred_only=True)
@@ -274,11 +286,17 @@ class OCVPEvaluator:
         self.rng = jax.random.PRNGKey(13)
 
     def evaluate(self, max_batches=None, expert_policy=False):
+        # swap in the expert-demo dataset WITHOUT mutating the shared config
+        # (a later evaluate() on this instance must see the original dataset)
+        data_params = self.exp_params
         if expert_policy:
-            name = self.exp_params["dataset"]["dataset_name"]
+            name = data_params["dataset"]["dataset_name"]
             if not name.endswith("_ExpertDemos"):
-                self.exp_params["dataset"]["dataset_name"] = name + "_ExpertDemos"
-        ds = load_data(self.exp_params, split="test")
+                data_params = {**dict(self.exp_params),
+                               "dataset": {**self.exp_params["dataset"],
+                                           "dataset_name":
+                                               name + "_ExpertDemos"}}
+        ds = load_data(data_params, split="test")
         loader = build_data_loader(ds, batch_size=self.batch_size, shuffle=False)
         tracker = MetricTracker(self.metrics)
         for i, batch in enumerate(loader):

@@ -128,11 +128,13 @@ class PredictorTrainer(BaseTrainer):
                 # (reference 04_train_OCVP.py + PredictorWrapper semantics:
                 # teacher forcing only in train mode)
                 from playslot_tpu.models.ocvp import predictor_wrapper_rollout
-                rngs = {"dropout": keys[1]} if train else None
+                # fresh dropout mask per AR step (reference draws fresh noise
+                # on every PredictorWrapper forward)
                 pred_slots = predictor_wrapper_rollout(
-                    lambda x: predictor.apply({"params": params}, x,
-                                              deterministic=not train,
-                                              rngs=rngs),
+                    lambda x, t: predictor.apply(
+                        {"params": params}, x, deterministic=not train,
+                        rngs=({"dropout": jax.random.fold_in(keys[1], t)}
+                              if train else None)),
                     slots, num_context=nc, num_preds=np_,
                     input_buffer_size=buffer_size,
                     teacher_force=teacher_force and train,

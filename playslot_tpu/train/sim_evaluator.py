@@ -238,8 +238,13 @@ class SimulationEvaluator:
             window.append(next_slots)
             if len(window) > self.context_length:
                 window = window[-self.context_length:]
-                protos_hist = protos_hist[:, -(self.context_length - 1):]
-                vars_hist = vars_hist[:, -(self.context_length - 1):]
+                # keep context_length-1 action entries (one per frame
+                # transition in the window); NB -(cl-1) is 0 at cl==1 and a
+                # [:, -0:] slice would keep EVERYTHING, desynchronizing the
+                # action history from the slot window
+                keep = self.context_length - 1
+                protos_hist = protos_hist[:, protos_hist.shape[1] - keep:]
+                vars_hist = vars_hist[:, vars_hist.shape[1] - keep:]
 
         episodes = []
         for ep in range(N):

@@ -103,9 +103,14 @@ def miou_framewise(pred_seg, gt_seg, num_pred, num_gt, hungarian=True):
     iou = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
     valid = np.array([np.any(gt_seg == g) for g in range(num_gt)])
     if hungarian:
+        # one-to-one matching returns min(num_gt, num_pred) pairs; GT objects
+        # left unmatched (more objects than slots) must still count as 0 in
+        # the mean, not be dropped — otherwise a model capturing 4 of 8
+        # objects perfectly would score 1.0
         rows, cols = linear_sum_assignment(-iou)
-        scores = iou[rows, cols]
-        return float(scores[valid[rows]].mean()) if valid.any() else 0.0
+        matched = np.zeros(num_gt)
+        matched[rows] = iou[rows, cols]
+        return float(matched[valid].mean()) if valid.any() else 0.0
     best = iou.max(axis=1)
     return float(best[valid].mean()) if valid.any() else 0.0
 

@@ -147,6 +147,10 @@ def test_dispatch_per_kernel_override_in_forced_mode(monkeypatch):
     assert use_pallas("block_causal") is False
     monkeypatch.setenv("PLAYSLOT_USE_PALLAS", "interpret")
     assert use_pallas("block_causal") is True
+    # mode typos must raise, not silently fall back to auto
+    monkeypatch.setenv("PLAYSLOT_USE_PALLAS", "true")
+    with pytest.raises(ValueError):
+        use_pallas("vq")
 
 
 def test_action_dir_kld_matches_reference_golden():

@@ -109,6 +109,21 @@ def test_miou_perfect_and_disjoint():
     assert miou_framewise(other, seg, num_pred=2, num_gt=2) == 1.0
 
 
+def test_miou_counts_unmatched_gt_objects():
+    """More GT objects than slots: unmatched GT must count as IoU 0, not be
+    dropped from the mean (a 2-slot model capturing 2 of 4 objects scores
+    0.5, not 1.0)."""
+    from playslot_tpu.utils.metrics import miou_framewise
+    gt = np.arange(4).repeat(4).reshape(4, 4).T  # 4 vertical stripes 0..3
+    pred = np.where(gt < 2, gt, 0)  # slots 0/1 match stripes 0/1 only...
+    pred_seg = np.where(gt < 2, gt, 2)  # ...stripes 2/3 lumped into slot 2
+    del pred
+    score = miou_framewise(pred_seg, gt, num_pred=3, num_gt=4)
+    # stripes 0,1 match perfectly; stripe 2 or 3 gets IoU 0.5 vs slot 2;
+    # the 4th stripe is unmatched and MUST contribute 0
+    assert abs(score - (1.0 + 1.0 + 0.5 + 0.0) / 4) < 1e-6
+
+
 def test_ssim_matches_tensorflow():
     """Golden cross-check against tf.image.ssim (same window/constants)."""
     tf = pytest.importorskip("tensorflow")

@@ -96,7 +96,7 @@ def test_predictor_wrapper_rollout_parity():
         pred_t, _ = wrapper(torch.from_numpy(x))
 
     pred_j = predictor_wrapper_rollout(
-        lambda s: jm.apply(variables, s), x, num_context=3, num_preds=2,
+        lambda s, _t: jm.apply(variables, s), x, num_context=3, num_preds=2,
         input_buffer_size=4, teacher_force=False, get_pred_only=False)
     np.testing.assert_allclose(np.asarray(pred_j), pred_t.numpy(),
                                atol=2e-5, rtol=1e-4)
