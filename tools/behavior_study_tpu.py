@@ -74,6 +74,12 @@ STAGES = os.environ.get("PLAYSLOT_STUDY_STAGES", "full")  # full | savi_oracle
 # with the slot-binding probe (tools/probe_slot_binding.py), keep the best
 # target-binding; every candidate's scores are reported in STUDY_RESULTS.
 SAVI_ATTEMPTS = int(os.environ.get("PLAYSLOT_STUDY_SAVI_ATTEMPTS", "3"))
+# Offset into the per-seed candidate stream (training seed = seed*100 +
+# offset + attempt): a gated RERUN of a seed whose first candidates all
+# failed the SNR bar can explore FRESH candidates instead of deterministically
+# retraining the known-failing ones (e.g. seed 3's production rerun sets 3).
+SAVI_ATTEMPT_OFFSET = int(
+    os.environ.get("PLAYSLOT_STUDY_SAVI_ATTEMPT_OFFSET", "0"))
 SAVI_TARGET_R2_BAR = float(
     os.environ.get("PLAYSLOT_STUDY_SAVI_TARGET_R2_BAR", "0.9"))
 # Bar on the MINIMUM probe R^2 over ALL entity coordinates (agent y/x AND
@@ -355,7 +361,7 @@ def run_seed(seed):
         attempts = []
         for attempt in range(SAVI_ATTEMPTS):
             cfg = Config.load(exp)
-            cfg["training"]["seed"] = seed * 100 + attempt
+            cfg["training"]["seed"] = seed * 100 + SAVI_ATTEMPT_OFFSET + attempt
             cfg.save()
             tr = SAViTrainer(exp)
             tr.load_data()
