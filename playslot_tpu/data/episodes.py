@@ -44,6 +44,19 @@ class EpisodeFrameDataset:
             self.seq_per_episode = max(self.ep_len - span + 1, 1)
         else:
             self.seq_per_episode = 1
+        # the offset arithmetic above indexes up to frame ep_len-1 (or span-1
+        # without random starts) — validate against the ACTUAL frame counts
+        # on disk so a config/disk mismatch fails here with a clear message
+        # instead of an IndexError mid-epoch
+        if self.episodes:
+            shortest = min(len(p) for p in self.episodes)
+            needed = self.ep_len if self.seq_per_episode > 1 else span
+            if shortest < needed:
+                raise ValueError(
+                    f"{type(self).__name__}: configured ep_len={self.ep_len} "
+                    f"num_frames={num_frames} sample_rate={sample_rate} needs "
+                    f"{needed} frames per episode, but the shortest episode "
+                    f"under {self.root} has {shortest}")
 
     # -------------------------------------------------------------- layout
     def _resolve_root(self):

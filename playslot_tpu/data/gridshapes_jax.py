@@ -57,8 +57,13 @@ def generate_batch(key, batch=32, num_frames=10, num_balls=2, img_size=64,
     colors = _COLOR_TABLE[color_ids]  # (B, S, 3)
     pos = jax.random.randint(k_pos, (B, S, 2), 0, R - sz).astype(jnp.int32)
 
-    axis = jax.random.randint(k_dir, (B, S), 0, 2)
-    sign = jnp.where(jax.random.uniform(k_dir, (B, S)) < 0.5, 1, -1)
+    # independent keys per draw (a shared key correlates axis and sign
+    # through the underlying threefry bits, skewing the 4-direction
+    # distribution; fixing this changes generated streams for identical
+    # seed — pre-fix bouncing-ball artifacts are from the old stream)
+    k_axis, k_sign = jax.random.split(k_dir)
+    axis = jax.random.randint(k_axis, (B, S), 0, 2)
+    sign = jnp.where(jax.random.uniform(k_sign, (B, S)) < 0.5, 1, -1)
     speed = jnp.where(jnp.stack([axis == 0, axis == 1], -1),
                       (SPEED * sign)[..., None], 0).astype(jnp.int32)
 
@@ -339,11 +344,18 @@ class GridShapesExpertOnDevice(GridShapesOnDevice):
         self.target_walk = float(target_walk)
         if length is None:
             self._length = 2048 if split == "train" else 256
+        # num_expert_demos caps the demo budget like the on-disk variants
+        # (gridshapes.py GridShapesExpertDemos, episodes.py ExpertDemosMixin):
+        # the generated set becomes FIXED across epochs (epoch fold pinned)
+        # so a capped run really sees only that many distinct demos
+        self.num_expert_demos = int(num_expert_demos)
+        if self.num_expert_demos > 0:
+            self._length = min(self._length, self.num_expert_demos)
 
     def batches(self, batch_size, shuffle=True, seed=0, epoch=0):
         n_batches = max(self._length // batch_size, 1)
-        key = jax.random.fold_in(self.base_key,
-                                 0 if self.split != "train" else epoch)
+        fixed_set = self.split != "train" or self.num_expert_demos > 0
+        key = jax.random.fold_in(self.base_key, 0 if fixed_set else epoch)
         for i in range(n_batches):
             out = generate_scene_batch(
                 jax.random.fold_in(key, i), batch=batch_size,

@@ -25,11 +25,17 @@ class ButtonPressLeRobot:
         except ImportError as e:
             raise ImportError("HF `datasets` package required for the LeRobot "
                               "ButtonPress variant") from e
-        self.split = {"valid": "train", "val": "train"}.get(split, split)
+        if split not in ("train", "val", "valid", "validation", "eval", "test"):
+            raise ValueError(f"Unknown dataset split {split}")
+        # reference ButtonPress.py:34-38: val/valid -> "val", eval -> "test";
+        # both non-train splits serve the HELD-OUT tail (never training data)
+        self.split = ("val" if split in ("val", "valid", "validation")
+                      else "test" if split in ("test", "eval") else "train")
         self.num_frames = num_frames
         self.sample_rate = sample_rate
         self.img_size = tuple(img_size)
-        self.random_start = random_start and split == "train"
+        self.random_start = random_start and self.split == "train"
+        self.seed = seed
 
         ds = datasets.load_dataset(repo_id, split="train")
         self.ds = ds
@@ -38,7 +44,8 @@ class ButtonPressLeRobot:
         for i, ep in enumerate(ds["episode_index"]):
             self.episodes.setdefault(int(ep), []).append(i)
         eps = sorted(self.episodes)
-        thr = int(0.9 * len(eps))
+        # reference ButtonPress.py:71-76: first 95% train, last 5% val/test
+        thr = int(0.95 * len(eps))
         keep = eps[:thr] if self.split == "train" else eps[thr:]
         self.episode_ids = keep
 
@@ -59,7 +66,10 @@ class ButtonPressLeRobot:
         idxs = self.episodes[self.episode_ids[index]]
         span = (self.num_frames - 1) * self.sample_rate + 1
         max_start = max(len(idxs) - span, 0)
-        start = np.random.randint(0, max_start + 1) if self.random_start else 0
+        # seeded per index (not the global np.random) so identical
+        # config+seed reproduces identical windows, like every other dataset
+        start = (np.random.RandomState(self.seed * 100003 + index)
+                 .randint(0, max_start + 1) if self.random_start else 0)
         sel = [idxs[min(start + i * self.sample_rate, len(idxs) - 1)]
                for i in range(self.num_frames)]
 

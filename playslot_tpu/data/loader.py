@@ -116,11 +116,16 @@ class BatchIterator:
                   or not self.drop_last]
         q = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        failure = []
 
         def producer():
+            # a failing __getitem__/collate must surface in the consumer,
+            # not silently truncate the epoch at the sentinel
             try:
                 for s in starts:
                     q.put(self._collate(order[s:s + self.batch_size]))
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                failure.append(e)
             finally:
                 q.put(sentinel)
 
@@ -129,6 +134,8 @@ class BatchIterator:
         while True:
             item = q.get()
             if item is sentinel:
+                if failure:
+                    raise failure[0]
                 return
             yield item
 

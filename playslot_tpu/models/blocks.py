@@ -81,8 +81,14 @@ class MultiHeadAttention(nn.Module):
     head_dim: Optional[int] = None
     num_heads: int = 1
     self_attn: bool = True
+    # kv_dim exists for API parity with the reference (attention.py:170,191
+    # sizes the k/v Linears by it); flax Dense infers input width from the
+    # kv array, so it needs no wiring here
     kv_dim: Optional[int] = None
     project_out: bool = False
+    # reference parity: dropout lives INSIDE the out-projection Sequential
+    # (attention.py:193-198) and is intentionally skipped when needs_proj is
+    # False — the reference's `nn.Identity()` branch has no dropout either
     dropout: float = 0.0
     dtype: Dtype = None
 

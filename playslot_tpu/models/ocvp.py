@@ -132,6 +132,11 @@ class OCVPParLayer(nn.Module):
             num_heads=self.n_heads, dtype=self.dtype, name="time_encoder_block")(tt)
         tt = tt.reshape(B, S, T, D).transpose(0, 2, 1, 3)
 
+        # residual is added to the LayerNormed input h, NOT the raw x —
+        # this re-normalizes the residual stream every layer, unlike the
+        # pre-LN TransformerEncoderBlock, but it is exactly what the
+        # reference OCVPParLayer does (transformers.py:523-538:
+        # `inputs = self.ln_att(inputs); ... y = y + inputs`)
         y = (obj + tt) / 2 + h
         z = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln_mlp")(y)
         z = MLP(hidden_dim=self.hidden_dim, dtype=self.dtype, name="mlp")(z)

@@ -113,7 +113,13 @@ class VectorQuantizer(nn.Module):
         return z_q, losses, idx
 
     def _ema_update(self, z, idx):
-        """Exact EMA schedule of reference EmaVectorQuantizer (136-151)."""
+        """Exact EMA schedule of reference EmaVectorQuantizer (136-151).
+
+        NB the reference uses ema_alpha as the weight of the OLD state here
+        (a*old + (1-a)*new — at the default 0.05 only 5% history survives a
+        step) while its EmaCodebookMeter uses the SAME name as the weight of
+        the NEW value (see _track_usage). Both conventions are mirrored
+        faithfully; do not 'fix' either."""
         B = z.shape[0]
         a = self.ema_alpha
         eps = self.epsilon
