@@ -68,7 +68,11 @@ def slot_smoothness(slot_history=None, **_):
     action explained only 0.17% of slot-difference variance vs 0.7-2.2% on
     working seeds (docs/BEHAVIOR_STUDY.md round-3 forensics,
     tools/probe_slotdiff_channel.py). Keep the weight small: genuine object
-    motion lives in the same differences."""
+    motion lives in the same differences. Measured head-to-head at w=0.1 on
+    the failing study stream, regularizing LOST to SNR-gated selection —
+    sub-gate SNR (0.0028-0.0043), broken agent probes, oracle 0.40,
+    closed-loop 0.03/0.07 (experiments/GridShapesSmooth/SMOOTH_RESULTS.json,
+    docs/BEHAVIOR_STUDY.md) — so this stays a default-off extension."""
     d = slot_history[:, 1:] - slot_history[:, :-1]
     return jnp.mean(d * d)
 

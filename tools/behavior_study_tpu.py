@@ -106,7 +106,12 @@ SAVI_MIN_SNR_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_SNR", "0"))
 # Weight for the slot_smoothness EXTENSION loss in SAVi training
 # (train/losses.py): dampens the frame-to-frame slot jitter that the SNR
 # bar measures, attacking the cause instead of rejecting candidates.
-# 0 disables (reference-parity loss config).
+# 0 disables (reference-parity loss config). MEASURED RULING (round 3,
+# experiments/GridShapesSmooth/SMOOTH_RESULTS.json): at w=0.1 on the
+# failing seed-2 stream all candidates stayed sub-gate (SNR 0.0028-0.0043)
+# while agent probes, the oracle (0.40) and the closed loop (0.03/0.07)
+# broke — regularization suppresses the agent-motion signal itself; use
+# the SNR gate (selection), not this knob.
 SAVI_SMOOTH_W = float(os.environ.get("PLAYSLOT_STUDY_SAVI_SMOOTH", "0"))
 # Best-of-k predictor selection gated on the latent-channel probe (the
 # analogue of the SAVi probe selection): the channel bootstrap is init-
