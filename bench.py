@@ -36,6 +36,9 @@ NUM_SEED, NUM_PREDS = 6, 15
 BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "128"))
 COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
     "PLAYSLOT_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
+# decode in N sequential chunks (lax.map) — divides the decode working set,
+# lifting the HBM batch ceiling (B=160 OOMs unchunked; docs/PERFORMANCE.md)
+DECODE_CHUNKS = int(os.environ.get("PLAYSLOT_BENCH_DECODE_CHUNKS", "1"))
 
 
 def build_models(dtype):
@@ -98,8 +101,9 @@ def main():
                            )["slot_history"]
         preds = posterior_rollout(predictor, pred_variables, slots,
                                   NUM_SEED, NUM_PREDS, rng=key)
-        pred_imgs, _, _ = savi.apply({"params": savi_params}, preds,
-                                     method=lambda m, s: m.decode_fast(s))
+        pred_imgs, _, _ = savi.apply(
+            {"params": savi_params}, preds,
+            method=lambda m, s: m.decode_fast_chunked(s, DECODE_CHUNKS))
         pred_imgs = jnp.clip(pred_imgs.astype(jnp.float32), 0, 1)
         # device-side checksum: fetching this scalar is the only reliable way
         # to force full execution on relayed TPU backends where

@@ -127,12 +127,15 @@ class SAVi(nn.Module):
         y = y.reshape(*lead, Ho, Wo, self.in_channels + 1)
         return alpha_composite(y, self.num_slots)
 
-    def decode_fast(self, slots):
+    def decode_fast(self, slots, train=False):
         """
         Fused spatial-broadcast decode (ops/fused_decode.py): removes the
         per-map broadcast materialization and the first-conv FLOPs on
         spatially-constant data. Exact to float reassociation vs decode();
-        falls back to decode() for decoder configs it cannot fuse.
+        falls back to decode() for decoder configs it cannot fuse. Fully
+        differentiable — the SAVi train step uses it (trainer.py), with
+        value+gradient parity vs decode() CI-tested
+        (tests/test_train_fast_decode.py).
         """
         from playslot_tpu.ops.fused_decode import fused_broadcast_decode
         from playslot_tpu.ops.grids import build_grid
@@ -142,7 +145,7 @@ class SAVi(nn.Module):
                    and not getattr(dec, "batch_norm", False)
                    and (dec.upsample is None or dec.upsample <= 1))
         if not fusable:
-            return self.decode(slots)
+            return self.decode(slots, train=train)
         rgba = fused_broadcast_decode(
             slots,
             grid=build_grid(self.decoder_resolution),
@@ -155,6 +158,27 @@ class SAVi(nn.Module):
             dtype=self.dtype,
         )
         return alpha_composite(rgba, self.num_slots)
+
+    def decode_fast_chunked(self, slots, num_chunks=1, train=False):
+        """
+        Chunked fused decode for eval-side HBM ceilings: splits the leading
+        (batch) axis into num_chunks pieces rendered sequentially by ONE
+        lax.map body, dividing the decode conv-stack working set — the
+        (B*T*S, H, W, C) activation tensors that dominate eval memory — by
+        num_chunks at the cost of num_chunks sequential launches. Exact same
+        numerics as decode_fast (identical per-chunk program). Batch must be
+        divisible by num_chunks.
+        """
+        if num_chunks <= 1:
+            return self.decode_fast(slots, train=train)
+        B = slots.shape[0]
+        if B % num_chunks:
+            raise ValueError(f"batch {B} not divisible by chunks {num_chunks}")
+        chunked = slots.reshape(num_chunks, B // num_chunks, *slots.shape[1:])
+        combined, recons, masks = jax.lax.map(
+            lambda s: self.decode_fast(s, train=train), chunked)
+        unchunk = lambda x: x.reshape(B, *x.shape[2:])
+        return unchunk(combined), unchunk(recons), unchunk(masks)
 
     # ------------------------------------------------------------ full video
     def __call__(self, x, num_imgs=None, decode=True, train=False,

@@ -94,7 +94,7 @@ class PlaySlotEvaluator:
     def __init__(self, exp_path, savi_params, pred_variables, num_seed=6,
                  num_preds=15, num_samples=10, post_only=False, batch_size=None,
                  results_name="eval", metrics=DEFAULT_METRICS,
-                 data_parallel_devices=None):
+                 data_parallel_devices=None, decode_chunks=None):
         self.exp_path = exp_path
         self.exp_params = Config.load(exp_path)
         self.savi_params = savi_params
@@ -123,6 +123,10 @@ class PlaySlotEvaluator:
 
         savi, predictor = self.savi, self.predictor
         ns, npred, nsamp = self.num_seed, self.num_preds, self.num_samples
+        # chunked decode (decode_fast_chunked) divides the eval decode
+        # working set — lifts the large-batch HBM ceiling (PERFORMANCE.md)
+        chunks = int(decode_chunks
+                     or os.environ.get("PLAYSLOT_DECODE_CHUNKS", "1"))
 
         @jax.jit
         def forward(savi_p, pred_v, videos, k_slots, k_action):
@@ -144,7 +148,8 @@ class PlaySlotEvaluator:
                 parts.append(priors)
             preds = jnp.concatenate(parts, axis=1)  # (B, nsamp, npred, S, D)
             pred_imgs, _, _ = savi.apply(
-                {"params": savi_p}, preds, method=lambda m, s: m.decode_fast(s))
+                {"params": savi_p}, preds,
+                method=lambda m, s: m.decode_fast_chunked(s, chunks))
             return jnp.clip(pred_imgs, 0, 1)  # (B, nsamp, npred, H, W, C)
 
         self._forward = forward

@@ -114,11 +114,24 @@ class PredictorTrainer(BaseTrainer):
             "input_buffer_size", 30)
         precision_ctx = self._precision_ctx
 
-        def forward(params, vq, videos, actions, keys, train):
-            with precision_ctx():
-                return forward_impl(params, vq, videos, actions, keys, train)
+        # training.remat = "decode" rematerializes the frozen-SAVi decode of
+        # the predicted frames (the step's dominant activation tensor) in the
+        # backward pass — trades decode FLOPs for HBM, raising the batch
+        # ceiling (measured: docs/PERFORMANCE.md training section).
+        def render_preds(pred_slots):
+            imgs, _, _ = savi.apply({"params": savi_params}, pred_slots,
+                                    method=lambda m, s: m.decode_fast(s))
+            return imgs
 
-        def forward_impl(params, vq, videos, actions, keys, train):
+        if self.exp_params.get("training", {}).get("remat"):
+            render_preds = jax.checkpoint(render_preds)
+
+        def forward(params, vq, videos, actions, keys, train, noise=None):
+            with precision_ctx():
+                return forward_impl(params, vq, videos, actions, keys, train,
+                                    noise)
+
+        def forward_impl(params, vq, videos, actions, keys, train, noise=None):
             slots = savi.apply(
                 {"params": savi_params}, videos, num_imgs=nc + np_, decode=False,
                 rngs={"slots": keys[0]})["slot_history"]
@@ -142,16 +155,19 @@ class PredictorTrainer(BaseTrainer):
                 out, new_vars = {}, {}
             else:
                 pred_args = (slots, actions) if is_action_cond else (slots,)
+                # `noise` overrides the reparameterization draw in the latent
+                # predictors (invdyn.sample) — a determinism hook for the
+                # torch-trajectory parity harness (tools/trajectory_parity.py)
+                pred_kw = {} if (is_action_cond or noise is None) \
+                    else {"noise": noise}
                 (pred_slots, out), new_vars = predictor.apply(
                     {"params": params, "vq": vq}, *pred_args,
-                    num_seed=nc, num_preds=np_, train=train,
+                    num_seed=nc, num_preds=np_, train=train, **pred_kw,
                     rngs={"action": keys[1]}, mutable=["vq"])
             pred_slots = pred_slots[:, :Tm1]
             # decode predicted slots with frozen SAVi (gradients DO flow
             # through the decode into pred_slots, as in the reference)
-            pred_imgs, _, _ = savi.apply(
-                {"params": savi_params}, pred_slots,
-                method=lambda m, s: m.decode_fast(s))
+            pred_imgs = render_preds(pred_slots)
             tensors = dict(
                 preds=pred_slots,
                 targets=slots[:, 1:nc + np_],
@@ -166,9 +182,10 @@ class PredictorTrainer(BaseTrainer):
             return total, (ldict, new_vars.get("vq", vq))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, videos, actions, k0, k1):
+        def train_step(state, videos, actions, k0, k1, noise=None):
             grad_fn = jax.value_and_grad(
-                lambda p: forward(p, state.vq, videos, actions, (k0, k1), True),
+                lambda p: forward(p, state.vq, videos, actions, (k0, k1), True,
+                                  noise),
                 has_aux=True)
             (_, (ldict, new_vq)), grads = grad_fn(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -258,13 +258,36 @@ class SAViTrainer(BaseTrainer):
         model, tx = self.model, self.tx
         loss_cfg = self.exp_params["loss"]
         precision_ctx = self._precision_ctx
+        tcfg = self.exp_params.get("training", {})
+        # the fused broadcast decode is the production path in training too
+        # (differentiable; value+grad parity CI-tested). training.fast_decode
+        # = false restores the naive per-map-broadcast decode for A/B.
+        fast_decode = bool(tcfg.get("fast_decode", True))
+        # training.remat = "decode" rematerializes the decode stack in the
+        # backward pass: the decoder activations (the dominant share of the
+        # train step's live memory, ~(B*T*S, H, W, C) per conv layer) are
+        # recomputed instead of saved, raising the HBM batch ceiling
+        # (measured: docs/PERFORMANCE.md training section).
+        remat = tcfg.get("remat")
+
+        def render(params, slot_history, train):
+            method = (lambda m, s: m.decode_fast(s, train=train)) if fast_decode \
+                else (lambda m, s: m.decode(s, train=train))
+            combined, _, _ = model.apply({"params": params}, slot_history,
+                                         method=method)
+            return combined
+
+        render_train = functools.partial(render, train=True)
+        if remat:
+            render_train = jax.checkpoint(render_train)
 
         def loss_fn(params, videos, key):
             with precision_ctx():
                 out = model.apply({"params": params}, videos, train=True,
-                                  rngs={"slots": key})
+                                  decode=False, rngs={"slots": key})
+                recons = render_train(params, out["slot_history"])
                 total, ldict = compute_losses(
-                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos,
+                    loss_cfg, pred_imgs=recons, target_imgs=videos,
                     slot_history=out["slot_history"])
                 return total, ldict
 
@@ -281,9 +304,10 @@ class SAViTrainer(BaseTrainer):
         def valid_step(state, videos, key):
             with precision_ctx():
                 out = model.apply({"params": state.params}, videos,
-                                  rngs={"slots": key})
+                                  decode=False, rngs={"slots": key})
+                recons = render(state.params, out["slot_history"], train=False)
                 _, ldict = compute_losses(
-                    loss_cfg, pred_imgs=out["recons_imgs"], target_imgs=videos,
+                    loss_cfg, pred_imgs=recons, target_imgs=videos,
                     slot_history=out["slot_history"])
                 return ldict
 

@@ -62,10 +62,15 @@ def main():
 
     @jax.jit
     def savi_step(params, opt_state, videos, k):
+        # trainer-shaped step: fused decode on the training path
+        # (train/trainer.py fast_decode default; grad parity CI-tested)
         def loss_fn(p):
-            out = savi.apply({"params": p}, videos, train=True,
+            out = savi.apply({"params": p}, videos, train=True, decode=False,
                              rngs={"slots": k})
-            return jnp.mean((out["recons_imgs"] - videos) ** 2)
+            recons, _, _ = savi.apply(
+                {"params": p}, out["slot_history"],
+                method=lambda m, s: m.decode_fast(s, train=True))
+            return jnp.mean((recons - videos) ** 2)
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
