@@ -26,6 +26,10 @@ from playslot_tpu.models.quantization import VectorQuantizer
 class BaseSlotLatentAction(nn.Module):
     """Shared scaffolding: gaussian head + quantizer + sampling."""
 
+    # which reference get_variability branch the variant executes — see
+    # _quantize_and_pack (True: InvDynS re-query; False: InvDynM hints)
+    VARIABILITY_REQUERY = True
+
     slot_dim: int
     emb_dim: int
     action_dim: int
@@ -135,8 +139,24 @@ class BaseSlotLatentAction(nn.Module):
         else:
             sampled = self.sample(action_dir_mean, action_dir_var, noise=noise)
         action_proto, vq_loss, action_idxs = self.quantizer(sampled, train=train)
-        action_var, _ = self.quantizer.get_variability(
-            z=sampled, action_embs=action_proto, action_idxs=action_idxs)
+        # The two reference InvDyn variants compute the variability
+        # DIFFERENTLY (found by tools/trajectory_parity.py — the hint path
+        # matched every eval forward but diverged on every EMA training
+        # step, pred_slots max diff 0.74 on a tiny config):
+        #   * InvDynS (LatentAction.py:232-236) passes no action_idxs, so
+        #     get_variability (quantization.py:365-366) RE-QUERIES the
+        #     codebook — which the EMA update just modified — giving
+        #     v = z - POST-update nearest codeword (indices may change) with
+        #     gradient flowing into z (raw codeword, no straight-through);
+        #   * InvDynM (LatentAction.py:341-346) passes action_embs AND
+        #     action_idxs, reusing the straight-through PRE-update protos —
+        #     v = z - straight_through(z_q), which has ZERO gradient to z.
+        # Both quirks mirrored faithfully via VARIABILITY_REQUERY.
+        if self.VARIABILITY_REQUERY:
+            action_var, _ = self.quantizer.get_variability(z=sampled)
+        else:
+            action_var, _ = self.quantizer.get_variability(
+                z=sampled, action_embs=action_proto, action_idxs=action_idxs)
         vq_losses = {k: jnp.mean(v) for k, v in vq_loss.items()}
         return {
             "action_dist": action_dist,
@@ -222,6 +242,8 @@ class VQSingleSlotLatentAction(BaseSlotLatentAction):
 
 class VQSimpleMLPSlotLatentAction(BaseSlotLatentAction):
     """InvDynM: one latent action per slot via a per-slot MLP encoder."""
+
+    VARIABILITY_REQUERY = False  # LatentAction.py:341-346 passes idx hints
 
     hidden_dim: int = 256
 

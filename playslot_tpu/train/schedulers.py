@@ -17,9 +17,20 @@ def build_lr_schedule(training_cfg):
     warmup = training_cfg.get("warmup_steps", 0) if training_cfg.get("lr_warmup") else 0
     steps = int(training_cfg.get("scheduler_steps", 1_000_000))
     if scheduler == "cosine_annealing":
-        return optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=lr, warmup_steps=max(warmup, 1),
-            decay_steps=max(warmup, 1) + steps, end_value=0.0)
+        # Exact replica of the reference's per-step lr sequence (measured by
+        # tools/trajectory_parity.py compare_lr_sequences, 1e-7 max rel diff):
+        # linear warmup lr*t/w for t<=w (LRWarmUp, schedulers.py:69-137), ONE
+        # hold step at lr (the WarmupVSScehdule deactivation call at t=w+1
+        # consumes an orchestrator tick without stepping the cosine,
+        # schedulers.py:97-105), then cosine (1+cos(pi*(t-w-1)/steps))/2.
+        # Documented deviation BEYOND t = w+1+steps: torch CosineAnnealingLR
+        # oscillates back up with period 2*steps; we clamp at 0 (no shipped
+        # reference run crosses scheduler_steps in its logged history).
+        if warmup:
+            return optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup),
+                 optax.cosine_decay_schedule(lr, steps)], [warmup + 1])
+        return optax.cosine_decay_schedule(lr, steps)
     if scheduler in ("step", "multi_step"):
         # per-`scheduler_steps` decay by gamma (reference lr_scheduler.StepLR)
         gamma = training_cfg.get("scheduler_gamma", 0.1)

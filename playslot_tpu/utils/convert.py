@@ -18,10 +18,17 @@ import numpy as np
 
 
 def _np(t):
-    """torch tensor -> numpy array (no torch import needed at module level)."""
+    """torch tensor -> numpy array (no torch import needed at module level).
+
+    Always COPIES: `.numpy()` on a contiguous CPU tensor returns a VIEW of
+    the live torch storage, so a "converted snapshot" would silently mutate
+    when the torch model trains on (bit us in the trajectory-parity harness,
+    tools/trajectory_parity.py — transposed leaves were real copies while
+    contiguous ones were views, producing inconsistent garbage snapshots).
+    """
     if hasattr(t, "detach"):
-        return t.detach().cpu().numpy()
-    return np.asarray(t)
+        return t.detach().cpu().numpy().copy()
+    return np.array(t)
 
 
 def strip_module_prefix(state_dict):

@@ -144,3 +144,42 @@ def test_ema_update_parity():
     np.testing.assert_allclose(np.asarray(q_j["codebook"]),
                                q_t.vq.embeddings["0"].weight.detach().numpy(),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("single_action", [True, False])
+def test_training_mode_forward_parity(single_action):
+    """TRAIN-mode forward (EMA VQ updating mid-forward) matches the
+    reference — pred_slots AND the variability path.
+
+    Round-4 regression guard: the reference computes the variability by
+    RE-QUERYING the codebook (its get_variability call passes no
+    action_idxs, quantization.py:365-366), so in EMA training the
+    variability is z - POST-update nearest codeword and carries gradient
+    into z. Reusing the straight-through protos instead matched every EVAL
+    forward but diverged on every EMA TRAINING step (found by
+    tools/trajectory_parity.py; pred_slots max diff 0.74 on a tiny config).
+    """
+    torch, tm, jm, variables = _build_pair(single_action, True, True)
+    rng = np.random.RandomState(5)
+    B = 2
+    slots = rng.randn(B, T, NUM_SLOTS, SLOT_DIM).astype(np.float32) * 0.5
+    noise_shape = (B, T - 1, ACTION_DIM) if single_action \
+        else (B, T - 1, NUM_SLOTS, ACTION_DIM)
+    noise = rng.randn(*noise_shape).astype(np.float32)
+
+    _patch_sample(torch, tm, noise)
+    tm.train()
+    with torch.no_grad():
+        pred_t, out_t = tm(torch.from_numpy(slots), num_seed=NUM_SEED,
+                           num_preds=NUM_PREDS)
+
+    import jax
+    (pred_j, out_j), _ = jm.apply(
+        variables, slots, num_seed=NUM_SEED, num_preds=NUM_PREDS, noise=noise,
+        train=True, mutable=["vq"], rngs={"action": jax.random.PRNGKey(0)})
+
+    np.testing.assert_allclose(np.asarray(pred_j), pred_t.detach().numpy(),
+                               atol=3e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_j["action_variability"]),
+        out_t["action_variability"].detach().numpy(), atol=3e-5, rtol=1e-4)
