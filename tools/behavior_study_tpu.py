@@ -103,6 +103,20 @@ SAVI_MIN_R2_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_R2", "0"))
 # 0.0017 -> 0.06. Bar default 0 disables; 0.005 separates the measured
 # outcomes with margin.
 SAVI_MIN_SNR_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_SNR", "0"))
+# Perception floor alongside the SNR gate (VERDICT r3 item 6): the SNR gate
+# selects on the slot-difference channel only, and fresh seeds 3/4 shipped
+# SAVi candidates with mIoU 0.39/0.59 — control succeeded anyway, but a
+# recipe that can select a 0.39-mIoU perception stack deserves a floor.
+# A candidate below either floor cannot pass (the attempt loop keeps
+# training); if EVERY attempt is sub-floor, the best-by-score candidate is
+# still selected and a loud warning is logged (the study completes rather
+# than aborting). Defaults 0 = off (round-3 protocol); the gated recipe
+# recommends PLAYSLOT_STUDY_SAVI_MIN_MIOU=0.3.
+SAVI_MIN_MIOU_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_MIOU", "0"))
+SAVI_MIN_PSNR_BAR = float(os.environ.get("PLAYSLOT_STUDY_SAVI_MIN_PSNR", "0"))
+# soft advisory floor: warn whenever the SELECTED candidate's mIoU is below
+# this, even with the hard floors off
+SAVI_WARN_MIOU = 0.3
 # Weight for the slot_smoothness EXTENSION loss in SAVi training
 # (train/losses.py): dampens the frame-to-frame slot jitter that the SNR
 # bar measures, attacking the cause instead of rejecting candidates.
@@ -333,20 +347,29 @@ def run_seed(seed):
         return (float(dedicated), float(min(r2[2], r2[3])),
                 [float(v) for v in r2], snr)
 
-    def savi_score(tgt_r2, dedicated, r2, snr):
+    def perception_ok(miou, psnr):
+        """Hard perception floor (VERDICT r3 item 6): mIoU/PSNR bars that a
+        candidate must clear to pass; 0 disables each."""
+        return ((SAVI_MIN_MIOU_BAR <= 0 or miou >= SAVI_MIN_MIOU_BAR)
+                and (SAVI_MIN_PSNR_BAR <= 0 or psnr >= SAVI_MIN_PSNR_BAR))
+
+    def savi_score(tgt_r2, dedicated, r2, snr, miou, psnr):
         """Candidate ranking: when the SNR bar is active, rank on (passes
-        the probe bars, snr) — the SNR is the measured decision variable
-        for whether the latent-action channel can form; the probe floor
-        keeps control of the policy-relevant readouts. Without the SNR bar,
-        rank on the probe R^2 (round-2 behavior)."""
+        the probe + perception bars, snr) — the SNR is the measured decision
+        variable for whether the latent-action channel can form; the probe
+        floor keeps control of the policy-relevant readouts and the
+        perception floor keeps the reconstruction stack honest. Without the
+        SNR bar, rank on the probe R^2 (round-2 behavior)."""
         if SAVI_MIN_SNR_BAR > 0:
             return (min(r2) >= SAVI_MIN_R2_BAR
-                    and tgt_r2 >= SAVI_TARGET_R2_BAR, snr)
+                    and tgt_r2 >= SAVI_TARGET_R2_BAR
+                    and perception_ok(miou, psnr), snr)
         return (min(r2) if SAVI_MIN_R2_BAR > 0 else tgt_r2, dedicated)
 
-    def savi_passes(tgt_r2, r2, snr):
+    def savi_passes(tgt_r2, r2, snr, miou, psnr):
         return (tgt_r2 >= SAVI_TARGET_R2_BAR and min(r2) >= SAVI_MIN_R2_BAR
-                and (snr is None or snr >= SAVI_MIN_SNR_BAR))
+                and (snr is None or snr >= SAVI_MIN_SNR_BAR)
+                and perception_ok(miou, psnr))
 
     if reuse_savi:
         from playslot_tpu.utils.checkpoint import load_checkpoint
@@ -372,8 +395,11 @@ def run_seed(seed):
             tr.load_data()
             tr.setup_model()
             tr.training_loop()
+            eval_metrics = ("psnr", "miou") if SAVI_MIN_MIOU_BAR > 0 \
+                else ("psnr",)
             savi_res = SAViEvaluator(exp, {"params": tr.state.params},
-                                     metrics=("psnr",), results_name="savi_eval"
+                                     metrics=eval_metrics,
+                                     results_name="savi_eval"
                                      ).evaluate(max_batches=2)
             miou = float(savi_res.get("miou", {}).get("mean", -1))
             psnr = float(savi_res["psnr"]["mean"])
@@ -388,15 +414,24 @@ def run_seed(seed):
             log(f"[seed {seed}] SAVi attempt {attempt}: psnr={psnr:.2f} "
                 f"miou={miou:.3f} dedicated_target={dedicated:.2f} "
                 f"target_r2={tgt_r2:.3f} snr={snr}")
-            score = savi_score(tgt_r2, dedicated, r2, snr)
+            score = savi_score(tgt_r2, dedicated, r2, snr, miou, psnr)
             if best is None or score > best[0]:
                 best = (score, miou, psnr, tr, dedicated, tgt_r2, snr)
-            if savi_passes(tgt_r2, r2, snr):
+            if savi_passes(tgt_r2, r2, snr, miou, psnr):
                 break
         _, out["savi_miou"], out["savi_psnr"], tr, \
             out["savi_dedicated_target"], out["savi_target_r2"], \
             out["savi_channel_snr"] = best
         out["savi_attempts"] = attempts
+        if not perception_ok(out["savi_miou"], out["savi_psnr"]):
+            out["savi_perception_floor_failed"] = True
+            log(f"[seed {seed}] WARNING: every SAVi attempt is below the "
+                f"perception floor (selected miou={out['savi_miou']:.3f}, "
+                f"psnr={out['savi_psnr']:.2f}; bars miou>={SAVI_MIN_MIOU_BAR} "
+                f"psnr>={SAVI_MIN_PSNR_BAR}) — proceeding with best-by-score")
+        elif 0 <= out["savi_miou"] < SAVI_WARN_MIOU:
+            log(f"[seed {seed}] WARNING: selected SAVi mIoU "
+                f"{out['savi_miou']:.3f} < advisory floor {SAVI_WARN_MIOU}")
         tr.save("checkpoint_epoch_final")  # disk ckpt = the selected candidate
         savi_params = tr.state.params
         log(f"[seed {seed}] SAVi selected: psnr={out['savi_psnr']:.2f} "
@@ -592,6 +627,8 @@ def main():
                    "action_dim": ACTION_DIM,
                    "pred_dtype": PRED_DTYPE, "precision": PRECISION or None,
                    "savi_min_snr": SAVI_MIN_SNR_BAR,
+                   "savi_min_miou": SAVI_MIN_MIOU_BAR,
+                   "savi_min_psnr": SAVI_MIN_PSNR_BAR,
                    "savi_smooth_w": SAVI_SMOOTH_W},
         "per_seed": per_seed,
         "aggregate": {k: agg(k) for k in (
