@@ -114,17 +114,34 @@ class PredictorTrainer(BaseTrainer):
             "input_buffer_size", 30)
         precision_ctx = self._precision_ctx
 
-        # training.remat = "decode" rematerializes the frozen-SAVi decode of
-        # the predicted frames (the step's dominant activation tensor) in the
-        # backward pass — trades decode FLOPs for HBM, raising the batch
-        # ceiling (measured: docs/PERFORMANCE.md training section).
-        def render_preds(pred_slots):
+        # Memory levers for the frozen-SAVi render of predicted frames (the
+        # step's dominant activation tensor) — same knobs and measured
+        # rulings as the SAVi trainer (trainer.py / docs/PERFORMANCE.md):
+        # training.decode_chunks chunks + rematerializes the render body;
+        # training.remat="decode" checkpoints the whole render (measured
+        # worse, kept for A/B).
+        tcfg = self.exp_params.get("training", {})
+        chunks = int(tcfg.get("decode_chunks", 1) or 1)
+
+        def render_chunk(pred_slots):
             imgs, _, _ = savi.apply({"params": savi_params}, pred_slots,
                                     method=lambda m, s: m.decode_fast(s))
             return imgs
 
-        if self.exp_params.get("training", {}).get("remat"):
-            render_preds = jax.checkpoint(render_preds)
+        if tcfg.get("remat") or chunks > 1:
+            render_chunk = jax.checkpoint(render_chunk)
+
+        def render_preds(pred_slots):
+            if chunks <= 1:
+                return render_chunk(pred_slots)
+            B = pred_slots.shape[0]
+            if B % chunks:
+                raise ValueError(
+                    f"batch {B} not divisible by decode_chunks {chunks}")
+            split = pred_slots.reshape(chunks, B // chunks,
+                                       *pred_slots.shape[1:])
+            out = jax.lax.map(render_chunk, split)
+            return out.reshape(B, *out.shape[2:])
 
         def forward(params, vq, videos, actions, keys, train, noise=None):
             with precision_ctx():

@@ -263,23 +263,46 @@ class SAViTrainer(BaseTrainer):
         # (differentiable; value+grad parity CI-tested). training.fast_decode
         # = false restores the naive per-map-broadcast decode for A/B.
         fast_decode = bool(tcfg.get("fast_decode", True))
-        # training.remat = "decode" rematerializes the decode stack in the
-        # backward pass: the decoder activations (the dominant share of the
-        # train step's live memory, ~(B*T*S, H, W, C) per conv layer) are
-        # recomputed instead of saved, raising the HBM batch ceiling
-        # (measured: docs/PERFORMANCE.md training section).
+        # Memory levers for the decode working set (the step's dominant
+        # allocation, ~(B*T*S, H, W, C) per conv layer):
+        #   * training.decode_chunks = N renders the decode in N sequential
+        #     chunks (lax.map) with the chunk body REMATERIALIZED in the
+        #     backward — peak decode memory becomes ~2 chunks' activations.
+        #   * training.remat = "decode" checkpoints the whole decode —
+        #     MEASURED WORSE (slower AND higher peak, docs/PERFORMANCE.md
+        #     round-4 training section: decode activations already have
+        #     minimal live range, being the last forward stage); kept as a
+        #     documented knob for A/B only.
         remat = tcfg.get("remat")
+        chunks = int(tcfg.get("decode_chunks", 1) or 1)
 
-        def render(params, slot_history, train):
+        def render_chunk(params, slot_history, train):
             method = (lambda m, s: m.decode_fast(s, train=train)) if fast_decode \
                 else (lambda m, s: m.decode(s, train=train))
             combined, _, _ = model.apply({"params": params}, slot_history,
                                          method=method)
             return combined
 
-        render_train = functools.partial(render, train=True)
-        if remat:
-            render_train = jax.checkpoint(render_train)
+        def make_render(train):
+            chunk = functools.partial(render_chunk, train=train)
+            if train and (remat or chunks > 1):
+                chunk = jax.checkpoint(chunk)
+            if chunks <= 1:
+                return chunk
+
+            def chunked(params, slot_history):
+                B = slot_history.shape[0]
+                if B % chunks:
+                    raise ValueError(
+                        f"batch {B} not divisible by decode_chunks {chunks}")
+                split = slot_history.reshape(chunks, B // chunks,
+                                             *slot_history.shape[1:])
+                out = jax.lax.map(lambda s: chunk(params, s), split)
+                return out.reshape(B, *out.shape[2:])
+            return chunked
+
+        render_train = make_render(True)
+        render = lambda params, sh, train: make_render(train)(params, sh)  # noqa: E731
 
         def loss_fn(params, videos, key):
             with precision_ctx():

@@ -174,3 +174,78 @@ def test_trainer_remat_step_matches(tmp_path):
     for a, b in zip(results[None][1], results["decode"][1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_trainer_chunked_decode_step_matches(tmp_path):
+    """training.decode_chunks=2 (sequential lax.map chunks with the body
+    rematerialized in the backward — the measured memory lever, see
+    docs/PERFORMANCE.md round-4 training section) leaves the jitted train
+    AND valid steps' outputs unchanged."""
+    from tests.test_training import _tiny_exp
+    from playslot_tpu.train.trainer import SAViTrainer
+
+    results = {}
+    for chunks in (1, 2):
+        d = tmp_path / f"chunks_{chunks}"
+        d.mkdir()
+        cfg = _tiny_exp(d)
+        cfg["training"]["decode_chunks"] = chunks
+        cfg.save()
+        tr = SAViTrainer(str(d))
+        tr.load_data()
+        tr.setup_model()
+        videos = jnp.asarray(
+            np.random.RandomState(0).rand(2, 4, 16, 16, 3), jnp.float32)
+        key = jax.random.PRNGKey(5)
+        state, ldict = tr._train_step(tr.state, videos, key)
+        vdict = tr._valid_step(state, videos, key)
+        results[chunks] = (float(ldict["_total"]), float(vdict["_total"]),
+                          jax.tree_util.tree_leaves(state.params))
+    assert abs(results[1][0] - results[2][0]) < 1e-6
+    assert abs(results[1][1] - results[2][1]) < 1e-6
+    for a, b in zip(results[1][2], results[2][2]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_predictor_trainer_chunked_decode_step_matches(tmp_path):
+    """Same invariance for the PlaySlot stage's frozen-SAVi render."""
+    import copy
+    from playslot_tpu.config import DEFAULTS
+    from tests.test_training import TINY_PRED, _tiny_exp
+    from playslot_tpu.train.trainer import SAViTrainer
+    from playslot_tpu.train.predictor_trainer import PredictorTrainer
+
+    results = {}
+    for chunks in (1, 2):
+        d = tmp_path / f"pchunks_{chunks}"
+        d.mkdir()
+        cfg = _tiny_exp(d, num_frames=4)
+        cfg["predictor"] = copy.deepcopy(TINY_PRED)
+        cfg["predictor_loss"] = copy.deepcopy(DEFAULTS["predictor_loss"])
+        cfg["prediction_params"] = {"num_context": 2, "num_preds": 2,
+                                    "teacher_force": False,
+                                    "sample_length": 4,
+                                    "input_buffer_size": 4}
+        cfg["training"]["decode_chunks"] = chunks
+        cfg.save()
+        savi_tr = SAViTrainer(str(d))
+        savi_tr.load_data()
+        savi_tr.setup_model()
+        tr = PredictorTrainer(str(d))
+        tr.load_data()
+        tr.load_savi(savi_params=savi_tr.state.params)
+        tr.setup_predictor()
+        videos = jnp.asarray(
+            np.random.RandomState(0).rand(2, 4, 16, 16, 3), jnp.float32)
+        k = jax.random.PRNGKey(5)
+        noise = jnp.asarray(
+            np.random.RandomState(1).randn(2, 3, 8), jnp.float32)
+        state, ldict = tr._train_step(tr.state, videos, None, k, k, noise)
+        results[chunks] = ({n: float(v) for n, v in ldict.items()},
+                           jax.tree_util.tree_leaves(state.params))
+    for name, v in results[1][0].items():
+        assert abs(results[2][0][name] - v) < 1e-6, name
+    for a, b in zip(results[1][1], results[2][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -57,24 +57,35 @@ SWEEP = [int(b) for b in os.environ.get(
 ITERS = int(os.environ.get("PLAYSLOT_TRAINBENCH_ITERS", "6"))
 
 
-def _savi_losses(savi, params, videos, key, fast=True, remat=False):
-    def render(p, slot_history):
+def _savi_losses(savi, params, videos, key, fast=True, remat=False, chunks=1):
+    def render_chunk(p, slot_history):
         method = (lambda m, s: m.decode_fast(s, train=True)) if fast \
             else (lambda m, s: m.decode(s, train=True))
         return savi.apply({"params": p}, slot_history, method=method)[0]
 
-    if remat:
-        render = jax.checkpoint(render)
+    if remat or chunks > 1:
+        render_chunk = jax.checkpoint(render_chunk)
+
+    def render(p, slot_history):
+        if chunks <= 1:
+            return render_chunk(p, slot_history)
+        B = slot_history.shape[0]
+        split = slot_history.reshape(chunks, B // chunks,
+                                     *slot_history.shape[1:])
+        out = jax.lax.map(lambda s: render_chunk(p, s), split)
+        return out.reshape(B, *out.shape[2:])
+
     out = savi.apply({"params": params}, videos, train=True, decode=False,
                      rngs={"slots": key})
     recons = render(params, out["slot_history"])
     return jnp.mean((recons - videos) ** 2)
 
 
-def savi_programs(savi, params, tx, fast=True, remat=False):
+def savi_programs(savi, params, tx, fast=True, remat=False, chunks=1):
     """Returns dict of jitted programs, each -> device scalar."""
     def loss_fn(p, videos, key):
-        return _savi_losses(savi, p, videos, key, fast=fast, remat=remat)
+        return _savi_losses(savi, p, videos, key, fast=fast, remat=remat,
+                            chunks=chunks)
 
     @jax.jit
     def fwd_encode(p, videos, key):
@@ -105,7 +116,7 @@ def savi_programs(savi, params, tx, fast=True, remat=False):
             "fwd_bwd": fwd_bwd, "full_step": full_step}
 
 
-def playslot_programs(savi, predictor, savi_params, tx, remat=False):
+def playslot_programs(savi, predictor, savi_params, tx, remat=False, chunks=1):
     loss_cfg = [{"type": "pred_slot_mse", "weight": 1},
                 {"type": "pred_img_mse", "weight": 1},
                 {"type": "VQLoss", "weight": 1, "beta": 0.25}]
@@ -115,13 +126,21 @@ def playslot_programs(savi, predictor, savi_params, tx, remat=False):
             {"params": savi_params}, videos, decode=False,
             rngs={"slots": key})["slot_history"])
 
-    def render_preds(pred_slots):
+    def render_chunk(pred_slots):
         imgs, _, _ = savi.apply({"params": savi_params}, pred_slots,
                                 method=lambda m, s: m.decode_fast(s))
         return imgs
 
-    if remat:
-        render_preds = jax.checkpoint(render_preds)
+    if remat or chunks > 1:
+        render_chunk = jax.checkpoint(render_chunk)
+
+    def render_preds(pred_slots):
+        if chunks <= 1:
+            return render_chunk(pred_slots)
+        B = pred_slots.shape[0]
+        split = pred_slots.reshape(chunks, B // chunks, *pred_slots.shape[1:])
+        out = jax.lax.map(render_chunk, split)
+        return out.reshape(B, *out.shape[2:])
 
     def loss_fn(p, vq, slots, videos, ka):
         (pred_slots, out), new_vars = predictor.apply(
@@ -269,24 +288,31 @@ def main():
     del videos, videos2
 
     # ---------------- batch sweep to the HBM ceiling
+    # variants: plain, whole-render remat (measured worse round 4 — kept so
+    # the refutation stays reproducible), chunked render (the memory lever)
+    variants = [{"remat": False, "chunks": 1}]
+    if os.environ.get("PLAYSLOT_TRAINSWEEP_REMAT", "0") == "1":
+        variants.append({"remat": True, "chunks": 1})
+    variants += [{"remat": False, "chunks": c} for c in
+                 (int(x) for x in os.environ.get(
+                     "PLAYSLOT_TRAINSWEEP_CHUNKS", "2,4").split(",") if x)]
     if os.environ.get("PLAYSLOT_TRAINSWEEP", "1") == "1":
         sweep = {"savi": [], "playslot": []}
         for stage, T_stage, make in (
                 ("savi", T_SAVI,
-                 lambda remat: savi_programs(savi, sp, tx, fast=True,
-                                             remat=remat)["full_step"]),
+                 lambda kw: savi_programs(savi, sp, tx, fast=True,
+                                          **kw)["full_step"]),
                 ("playslot", T,
-                 lambda remat: playslot_programs(savi, predictor, sp, tx2,
-                                                 remat=remat)["full_step"])):
-            for remat in (False, True):
+                 lambda kw: playslot_programs(savi, predictor, sp, tx2,
+                                              **kw)["full_step"])):
+            for kw in variants:
                 for B in SWEEP:
                     v = jnp.asarray(np.random.RandomState(2).rand(
                         B, T_stage, 64, 64, 3), jnp.float32)
-                    fn = make(remat)
+                    fn = make(kw)
                     args = (sp, tx.init(sp), v, key) if stage == "savi" \
                         else (pp, vq, tx2.init(pp), v, key)
-                    row = {"batch": B, "remat": remat,
-                           "mem_gb": _mem_gb(fn, *args)}
+                    row = {"batch": B, **kw, "mem_gb": _mem_gb(fn, *args)}
                     try:
                         ms = timed(fn, *args, iters=4)
                         row.update(step_ms=round(ms, 1),
