@@ -7,11 +7,22 @@ Capability parity with reference src/10_learn_behavior_from_demos.py:
   * MarkovBehaviorCloner predicts the latent action from slots[:, :-1],
   * MLPActionDecoder maps stop-gradient(policy latents) -> robot actions,
   * losses: latent_action_mse (w=1) + action_mse (w=0.01), one backward,
-    both modules updated (two Adams in the reference == one Adam over the
-    combined tree, since Adam state is per-parameter).
+    both modules updated.
+
+Optimizer semantics match the reference's stage-3 override exactly (found
+by the round-4 trajectory-parity harness, tools/trajectory_parity.py):
+the reference builds two Adams but wires the warmup/cosine callback to the
+POLICY optimizer only (10_learn_behavior_from_demos.py:105-115) — the
+action decoder trains at constant base lr — and its forward override never
+clips gradients (205-217), unlike stages 1/2. Implemented via
+build_behavior_optimizer (shared Adam moments + per-branch lr scale);
+`behavior_fused_optimizer: true` restores the pre-round-4 behavior (one
+clipped, fully-scheduled Adam) for A/B with the committed round-3 studies.
 
 Also covers the oracle variant (src/10_train_oracle.py): slots -> GT actions
-with action_mse only.
+with action_mse only, predictions and targets clamped to [-1, 1] as the
+reference does (10_train_oracle.py:128-131); the oracle DOES clip per
+training.gradient_clipping (10_train_oracle.py:136-141).
 """
 
 import functools
@@ -25,7 +36,8 @@ from playslot_tpu.models.factory import (
     setup_action_decoder, setup_behavior_model, setup_model, setup_predictor,
 )
 from playslot_tpu.train.losses import compute_losses
-from playslot_tpu.train.schedulers import build_optimizer
+from playslot_tpu.train.schedulers import (build_behavior_optimizer,
+                                           build_optimizer)
 from playslot_tpu.train.trainer import BaseTrainer, TrainState
 
 
@@ -74,7 +86,17 @@ class BehaviorTrainer(BaseTrainer):
         else:
             params.pop("decoder")
 
-        self.tx, self.lr_schedule = build_optimizer(self.exp_params["training"])
+        if self.ORACLE or self.exp_params.get("behavior_fused_optimizer"):
+            # oracle: single model, standard clip+scheduled Adam
+            # (10_train_oracle.py:136-141). behavior_fused_optimizer=true
+            # restores the pre-round-4 deviation EXACTLY (one clipped Adam
+            # over the combined tree, BOTH branches lr-scheduled) for A/B
+            # against the committed round-3 study artifacts.
+            self.tx, self.lr_schedule = build_optimizer(
+                self.exp_params["training"])
+        else:
+            self.tx, self.lr_schedule = build_behavior_optimizer(
+                self.exp_params["training"])
         self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                                 vq={}, opt_state=self.tx.init(params))
         if self.checkpoint:
@@ -97,11 +119,12 @@ class BehaviorTrainer(BaseTrainer):
         action_decoder = None if oracle else self.action_decoder
         precision_ctx = self._precision_ctx
 
-        def forward(params, videos, gt_actions, keys, train):
+        def forward(params, videos, gt_actions, keys, train, noise=None):
             with precision_ctx():
-                return forward_impl(params, videos, gt_actions, keys, train)
+                return forward_impl(params, videos, gt_actions, keys, train,
+                                    noise)
 
-        def forward_impl(params, videos, gt_actions, keys, train):
+        def forward_impl(params, videos, gt_actions, keys, train, noise):
             slots = savi.apply({"params": savi_params}, videos, decode=False,
                                rngs={"slots": keys[0]})["slot_history"]
             slots = jax.lax.stop_gradient(slots)
@@ -109,12 +132,16 @@ class BehaviorTrainer(BaseTrainer):
             if oracle:
                 pred_actions = policy.apply({"params": params["policy"]}, slots,
                                             deterministic=not train)
-                tensors["pred_actions"] = pred_actions
-                tensors["target_actions"] = gt_actions[:, :pred_actions.shape[1]]
+                # reference 10_train_oracle.py:128-131 clamps BOTH sides of
+                # the regression to [-1, 1] before the MSE
+                tensors["pred_actions"] = jnp.clip(pred_actions, -1.0, 1.0)
+                tensors["target_actions"] = jnp.clip(
+                    gt_actions[:, :pred_actions.shape[1]], -1.0, 1.0)
             else:
                 la_out = predictor.apply(
                     pred_vars, slots, rngs={"action": keys[1]},
-                    method=lambda m, s, **kw: m.latent_action(s, **kw))
+                    method=lambda m, s, **kw: m.latent_action(s, **kw),
+                    noise=noise)
                 if distill_target == "mean":
                     # framework extension: distill the noise-free action-
                     # direction MEAN instead of the reparameterized sample
@@ -141,9 +168,9 @@ class BehaviorTrainer(BaseTrainer):
             return total, ldict
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, videos, gt_actions, k0, k1):
+        def train_step(state, videos, gt_actions, k0, k1, noise=None):
             (_, ldict), grads = jax.value_and_grad(
-                lambda p: forward(p, videos, gt_actions, (k0, k1), True),
+                lambda p: forward(p, videos, gt_actions, (k0, k1), True, noise),
                 has_aux=True)(state.params)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
@@ -151,8 +178,9 @@ class BehaviorTrainer(BaseTrainer):
                                  opt_state=opt_state), ldict
 
         @jax.jit
-        def valid_step(state, videos, gt_actions, k0, k1):
-            _, ldict = forward(state.params, videos, gt_actions, (k0, k1), False)
+        def valid_step(state, videos, gt_actions, k0, k1, noise=None):
+            _, ldict = forward(state.params, videos, gt_actions, (k0, k1),
+                               False, noise)
             return ldict
 
         self._train_step = train_step

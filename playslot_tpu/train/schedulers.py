@@ -8,6 +8,10 @@ grad-norm clipping at `clipping_max_value`. Expressed as a single optax
 chain evaluated inside the jitted train step.
 """
 
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -56,4 +60,50 @@ def build_optimizer(training_cfg):
     tx = [optax.clip_by_global_norm(training_cfg["clipping_max_value"])] \
         if training_cfg.get("gradient_clipping") else []
     tx.append(optax.adam(schedule))
+    return optax.chain(*tx), schedule
+
+
+class ScaleByBranchLRState(NamedTuple):
+    count: jnp.ndarray
+
+
+def scale_by_branch_lrs(schedules):
+    """Final-scale stage applying a DIFFERENT lr schedule per top-level
+    param-dict branch (updates must be a dict whose keys ⊆ schedules)."""
+    def init(params):
+        del params
+        return ScaleByBranchLRState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        scaled = {
+            k: jax.tree_util.tree_map(
+                lambda u, _lr=schedules[k](state.count): -_lr * u, v)
+            for k, v in updates.items()}
+        return scaled, ScaleByBranchLRState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def build_behavior_optimizer(training_cfg):
+    """
+    Stage-3 (behavior-cloning) optimizer with the reference's EXACT update
+    semantics (src/10_learn_behavior_from_demos.py:80-119,205-217): the
+    reference builds TWO Adams — the trainer's warmup/scheduler callback is
+    wired to the POLICY optimizer only, so the action decoder trains at the
+    CONSTANT base lr for the whole run — and its stage-3 forward override
+    calls loss.backward() + both .step() calls with NO gradient clipping
+    (unlike stages 1/2/oracle, which clip per training.gradient_clipping).
+
+    Implemented as one chain over the {"policy": ..., "decoder": ...} param
+    dict: shared scale_by_adam (Adam moments are per-parameter, so one pass
+    == two optimizers) followed by a per-branch lr scale. Verified step-
+    local against the reference by tools/trajectory_parity.py (behavior
+    stage). The pre-round-4 fused behavior (one clipped, fully-scheduled
+    Adam) stays available via `behavior_fused_optimizer: true`.
+    """
+    schedule = build_lr_schedule(training_cfg)
+    const = optax.constant_schedule(training_cfg.get("lr", 1e-4))
+    tx = [optax.scale_by_adam(),
+          scale_by_branch_lrs({"policy": schedule, "decoder": const})]
     return optax.chain(*tx), schedule

@@ -75,6 +75,32 @@ def test_savi_training_trajectory(tp, tmp_path):
     assert r["final_param_max_rel_err"] < 1.0, r
 
 
+def test_behavior_training_trajectory(tp, tmp_path):
+    """24 stage-3 (behavior cloning) train steps with the reference's exact
+    stage-3 optimizer semantics: TWO Adams, warmup/cosine on the POLICY
+    optimizer only (action decoder at constant base lr), NO gradient
+    clipping (10_learn_behavior_from_demos.py:105-137,205-217); InvDyn
+    targets from identical injected noise; frozen converted SAVi+predictor
+    both sides."""
+    r = tp.run_behavior_trajectory(tmp_path, num_steps=24, resync_every=8,
+                                   B=2, T=4, lr=1e-3, warmup=8,
+                                   sched_steps=200)
+    assert r["resync_max_err_vs_global_update"] < 2e-3, r["resync_checks"]
+    assert r["loss_rel_diff_max_first_quarter"] < 1e-3, r
+    assert r["loss_rel_diff_max"] < 0.5, r
+
+
+def test_oracle_training_trajectory(tp, tmp_path):
+    """20 oracle-BC train steps: single Adam + clip + warmup/cosine, both
+    regression sides clamped to [-1, 1] (10_train_oracle.py:128-141); the
+    clamp is ACTIVE (targets drawn at 1.5x the clamp range)."""
+    r = tp.run_oracle_trajectory(tmp_path, num_steps=20, resync_every=5,
+                                 B=2, T=4, lr=1e-3, warmup=8, sched_steps=200)
+    assert r["resync_max_err_vs_global_update"] < 2e-3, r["resync_checks"]
+    assert r["loss_rel_diff_max_first_quarter"] < 1e-3, r
+    assert r["loss_rel_diff_max"] < 0.5, r
+
+
 def test_playslot_training_trajectory(tp, tmp_path):
     """30 PlaySlot (cOCVP+InvDyn) train steps with VQ-EMA ON, identical
     injected reparameterization noise, frozen converted SAVi both sides."""

@@ -596,6 +596,360 @@ def run_playslot_trajectory(tmp_dir, num_steps=150, resync_every=50, B=4,
     }
 
 
+# ------------------------------------------------------------ behavior stage
+BEH_CFG = {"model_name": "MarkovBehaviorCloner",
+           "model_params": {"emb_dim": 32, "num_layers": 2, "num_heads": 2,
+                            "head_dim": 8, "mlp_dim": 64}}
+ACTDEC_CFG = {"model_name": "MLPDecoder",
+              "model_params": {"in_dim": PRED_KW["action_dim"], "out_dim": 4,
+                               "hidden_dim": [32, 32]}}
+BEH_LOSS = [{"type": "latent_action_mse", "weight": 1},
+            {"type": "action_mse", "weight": 0.01}]
+
+
+def _behavior_config(tmp_dir, lr, warmup, sched_steps, B, T):
+    from playslot_tpu.config import Config, DEFAULTS
+    cfg = Config(exp_path=str(tmp_dir), **copy.deepcopy(DEFAULTS))
+    cfg["model"] = {"model_name": "SAVi",
+                    "model_params": copy.deepcopy(SAVI_CFG)}
+    cfg["dataset"].update({"dataset_name": "GridShapes", "num_frames": T,
+                           "num_balls": 2, "img_size": 16, "shape_size": 5,
+                           "length": B})
+    cfg["predictor"] = {
+        "predictor_name": "SlotSingleAction",
+        "predictor_params": {**copy.deepcopy(PRED_KW),
+                             "LatentAction": copy.deepcopy(PRED_LA_CFG),
+                             "DynamicsModel": copy.deepcopy(PRED_DYN_CFG)}}
+    cfg["behavior_model"] = copy.deepcopy(BEH_CFG)
+    cfg["action_decoder"] = copy.deepcopy(ACTDEC_CFG)
+    cfg["behavior_loss"] = copy.deepcopy(BEH_LOSS)
+    cfg["training"].update(_training_cfg(lr, warmup, sched_steps))
+    return cfg
+
+
+def run_behavior_trajectory(tmp_dir, num_steps=150, resync_every=50, B=4,
+                            T=5, lr=1e-3, warmup=25, sched_steps=400):
+    """
+    Stage-3 (behavior cloning) coupled trajectories + step-local resyncs.
+
+    The reference's stage-3 optimization semantics DIFFER from stages 1/2
+    (10_learn_behavior_from_demos.py): it builds TWO Adams (policy + action
+    decoder), wires the warmup/cosine callback to the POLICY optimizer only
+    (131-137: `self.optimizer = optimizer` after the policy setup — the
+    decoder trains at CONSTANT base lr), and its forward override backprops
+    with NO gradient clipping (205-217). The torch side below replicates
+    exactly that; ours is BehaviorTrainer._train_step with
+    build_behavior_optimizer (shared Adam moments + per-branch lr scale).
+    The InvDyn target latents use the SAME injected reparameterization
+    noise on both sides.
+    """
+    torch = _import_reference()
+    jax = _jax()
+    import jax.numpy as jnp
+    from models.Downstream.action_decoding import \
+        MLPActionDecoder as TorchActDec
+    from models.Downstream.behavior_predictor import \
+        MarkovBehaviorCloner as TorchCloner
+    from models.Predictors.LatentActionPredictors import \
+        SlotSingleActionPredictor as TorchPred
+    from models.SAVi import SAVi as TorchSAVi
+    from lib.loss import LossTracker
+    from playslot_tpu.train.behavior_trainer import BehaviorTrainer
+    from playslot_tpu.utils.convert import (convert_action_decoder,
+                                            convert_behavior_cloner,
+                                            convert_latent_predictor,
+                                            convert_savi)
+
+    act_dim = PRED_KW["action_dim"]
+    out_dim = ACTDEC_CFG["model_params"]["out_dim"]
+
+    # frozen SAVi + frozen predictor (InvDyn source), converted to our side
+    savi_t = TorchSAVi(**copy.deepcopy(SAVI_CFG))
+    savi_t.eval()
+    pred_t = TorchPred(**copy.deepcopy(PRED_KW),
+                       LatentAction=copy.deepcopy(PRED_LA_CFG),
+                       DynamicsModel=copy.deepcopy(PRED_DYN_CFG))
+    pred_t.eval()
+    for m in (savi_t, pred_t):
+        for p in m.parameters():
+            p.requires_grad_(False)
+    savi_params = convert_savi(savi_t.state_dict())
+    pred_vars = convert_latent_predictor(pred_t.state_dict())
+
+    # trainable downstream models (reference trains them in .eval() mode —
+    # dropout-free here, asserted below)
+    bp = BEH_CFG["model_params"]
+    policy_t = TorchCloner(slot_dim=SAVI_CFG["slot_dim"], action_dim=act_dim,
+                           **bp)
+    actdec_t = TorchActDec(**ACTDEC_CFG["model_params"])
+    policy_t.eval()
+    actdec_t.eval()
+    _assert_no_active_dropout(torch, policy_t)
+    _assert_no_active_dropout(torch, actdec_t)
+    policy_opt = torch.optim.Adam(policy_t.parameters(), lr=lr)
+    act_opt = torch.optim.Adam(actdec_t.parameters(), lr=lr)
+    # scheduler orchestration drives the POLICY optimizer ONLY
+    orch = _torch_warmup_scheduler(torch, policy_opt, lr, warmup, sched_steps)
+    tracker = LossTracker(copy.deepcopy(BEH_LOSS))
+
+    # our trainer from the same converted init
+    cfg = _behavior_config(tmp_dir, lr, warmup, sched_steps, B, T)
+    cfg.save()
+    tr = BehaviorTrainer(str(tmp_dir))
+    tr.load_models(savi_params=savi_params, predictor_variables=pred_vars)
+    tr.setup_behavior_models()
+    init_params = {
+        "policy": convert_behavior_cloner(policy_t.state_dict())["params"],
+        "decoder": convert_action_decoder(actdec_t.state_dict())["params"]}
+    tr.state = tr.state.replace(params=init_params,
+                                opt_state=tr.tx.init(init_params))
+
+    batches = _make_batches(num_steps, B, T, seed=2)
+    rs = np.random.RandomState(321)
+    noises = [rs.randn(B, T - 1, act_dim).astype(np.float32)
+              for _ in range(num_steps)]
+    gt_actions = [np.clip(rs.randn(B, T - 1, out_dim), -1, 1)
+                  .astype(np.float32) for _ in range(num_steps)]
+    key = jax.random.PRNGKey(0)
+
+    def torch_video(x):
+        return torch.from_numpy(x).permute(0, 1, 4, 2, 3).contiguous()
+
+    def patch_sample(noise):
+        t_noise = torch.from_numpy(noise)
+
+        def fixed_sample(mean, var, eps=1e-6):
+            return t_noise * torch.sqrt(var + eps) + mean
+        pred_t.latent_action.sample = fixed_sample
+
+    def torch_step(vids, noise, gt):
+        """Reference 10_learn_behavior_from_demos.py:163-217 forward +
+        optimize: InvDyn targets under no_grad, policy on slots[:, :-1],
+        decoder on detached policy latents, one backward, both Adams step,
+        NO clipping."""
+        patch_sample(noise)
+        videos = torch_video(vids)
+        with torch.no_grad():
+            slot_history = savi_t(videos, num_imgs=T,
+                                  decode=False)["slot_history"]
+            target_latents = pred_t.latent_action.compute_actions(
+                slot_history)["sampled_latent_action"]
+        pred_latents = policy_t(slot_history[:, :-1].detach())
+        pred_actions = actdec_t(pred_latents.detach())
+        tracker(pred_action_embs=pred_latents,
+                target_action_embs=target_latents.detach(),
+                pred_actions=pred_actions,
+                target_actions=torch.from_numpy(gt))
+        loss = tracker.get_last_losses(total_only=True)
+        act_opt.zero_grad()
+        policy_opt.zero_grad()
+        loss.backward()
+        act_opt.step()
+        policy_opt.step()
+        return float(loss)
+
+    def torch_params():
+        return {
+            "policy": convert_behavior_cloner(policy_t.state_dict())["params"],
+            "decoder": convert_action_decoder(actdec_t.state_dict())["params"]}
+
+    def torch_adam_moments():
+        m1p, m2p, cp = _torch_moments(torch, policy_t, policy_opt)
+        m1d, m2d, cd = _torch_moments(torch, actdec_t, act_opt)
+        mu = {"policy": convert_behavior_cloner(m1p)["params"],
+              "decoder": convert_action_decoder(m1d)["params"]}
+        nu = {"policy": convert_behavior_cloner(m2p)["params"],
+              "decoder": convert_action_decoder(m2d)["params"]}
+        assert cp == cd, (cp, cd)
+        return mu, nu, cp
+
+    losses_t, losses_j, resyncs = [], [], []
+    for t, (vids, noise, gt) in enumerate(zip(batches, noises, gt_actions)):
+        if resync_every and t % resync_every == 0:
+            sync_params = torch_params()
+            mu, nu, step_cnt = torch_adam_moments()
+            sync_state = tr.state.replace(
+                step=jnp.asarray(t, jnp.int32), params=sync_params,
+                opt_state=_with_adam_state(jax, tr.tx, sync_params, mu, nu,
+                                           step_cnt))
+            next_state, _ = tr._train_step(sync_state, jnp.asarray(vids),
+                                           jnp.asarray(gt), key, key,
+                                           jnp.asarray(noise))
+
+        orch(iter=t, epoch=0, exp_params=EXP_PARAMS_SCHED, end_epoch=False)
+        losses_t.append(torch_step(vids, noise, gt))
+
+        if resync_every and t % resync_every == 0:
+            want = torch_params()
+            errs = _leaf_rel_errs(jax, next_state.params, want,
+                                  base_tree=sync_params)
+            resyncs.append({
+                "step": t,
+                "err_vs_global_update": _tree_abs_err(
+                    jax, next_state.params, want, sync_params),
+                "max_param_rel_err": max(errs.values()),
+                "worst_leaf": max(errs, key=errs.get)})
+
+        tr.state, ldict = tr._train_step(tr.state, jnp.asarray(vids),
+                                         jnp.asarray(gt), key, key,
+                                         jnp.asarray(noise))
+        losses_j.append(float(ldict["_total"]))
+
+    final_want = torch_params()
+    drift = _leaf_rel_errs(jax, tr.state.params, final_want,
+                           base_tree=init_params)
+    rel = [abs(a - b) / abs(a) for a, b in zip(losses_t, losses_j)]
+    return {
+        "num_steps": num_steps, "batch": B, "frames": T,
+        "lr": lr, "warmup_steps": warmup, "scheduler_steps": sched_steps,
+        "loss_torch_head": [round(v, 6) for v in losses_t[:5]],
+        "loss_jax_head": [round(v, 6) for v in losses_j[:5]],
+        "loss_torch_tail": [round(v, 6) for v in losses_t[-3:]],
+        "loss_jax_tail": [round(v, 6) for v in losses_j[-3:]],
+        "loss_rel_diff_per_step": [round(v, 8) for v in rel],
+        "loss_rel_diff_max_first_quarter":
+            max(rel[:max(1, num_steps // 4)]),
+        "loss_rel_diff_max": max(rel),
+        "resync_checks": resyncs,
+        "resync_max_err_vs_global_update": max(
+            r["err_vs_global_update"] for r in resyncs) if resyncs else None,
+        "resync_max_param_rel_err": max(r["max_param_rel_err"]
+                                        for r in resyncs) if resyncs else None,
+        "final_param_max_rel_err": max(drift.values()),
+        "final_param_worst_leaf": max(drift, key=drift.get),
+    }
+
+
+def run_oracle_trajectory(tmp_dir, num_steps=100, resync_every=25, B=4,
+                          T=4, lr=1e-3, warmup=25, sched_steps=400):
+    """
+    Oracle-BC coupled trajectories + resyncs (10_train_oracle.py): a SINGLE
+    Adam with the standard warmup/cosine orchestration, gradient clipping ON
+    per training.gradient_clipping (136-141), and BOTH sides of the action
+    regression clamped to [-1, 1] before the MSE (128-131).
+    """
+    torch = _import_reference()
+    jax = _jax()
+    import jax.numpy as jnp
+    from models.Downstream.behavior_predictor import \
+        MarkovBehaviorCloner as TorchCloner
+    from models.SAVi import SAVi as TorchSAVi
+    from playslot_tpu.train.behavior_trainer import OracleTrainer
+    from playslot_tpu.utils.convert import (convert_behavior_cloner,
+                                            convert_savi)
+
+    out_dim = ACTDEC_CFG["model_params"]["out_dim"]
+
+    savi_t = TorchSAVi(**copy.deepcopy(SAVI_CFG))
+    savi_t.eval()
+    for p in savi_t.parameters():
+        p.requires_grad_(False)
+    savi_params = convert_savi(savi_t.state_dict())
+
+    bp = BEH_CFG["model_params"]
+    oracle_t = TorchCloner(slot_dim=SAVI_CFG["slot_dim"], action_dim=out_dim,
+                           **bp)
+    oracle_t.eval()
+    _assert_no_active_dropout(torch, oracle_t)
+    opt = torch.optim.Adam(oracle_t.parameters(), lr=lr)
+    orch = _torch_warmup_scheduler(torch, opt, lr, warmup, sched_steps)
+
+    cfg = _behavior_config(tmp_dir, lr, warmup, sched_steps, B, T)
+    del cfg["predictor"], cfg["action_decoder"], cfg["behavior_loss"]
+    cfg["action_dim"] = out_dim
+    cfg.save()
+    tr = OracleTrainer(str(tmp_dir))
+    tr.load_models(savi_params=savi_params)
+    tr.setup_behavior_models()
+    init_params = {
+        "policy": convert_behavior_cloner(oracle_t.state_dict())["params"]}
+    tr.state = tr.state.replace(params=init_params,
+                                opt_state=tr.tx.init(init_params))
+
+    batches = _make_batches(num_steps, B, T, seed=3)
+    rs = np.random.RandomState(99)
+    # 1.5x range so the [-1, 1] clamp is ACTIVE on a fraction of targets
+    gt_actions = [(1.5 * rs.randn(B, T, out_dim)).astype(np.float32)
+                  for _ in range(num_steps)]
+    key = jax.random.PRNGKey(0)
+    mse = torch.nn.functional.mse_loss
+
+    def torch_video(x):
+        return torch.from_numpy(x).permute(0, 1, 4, 2, 3).contiguous()
+
+    def torch_step(vids, gt):
+        videos = torch_video(vids)
+        with torch.no_grad():
+            slot_history = savi_t(videos, num_imgs=T,
+                                  decode=False)["slot_history"]
+        pred = oracle_t(slot_history)
+        loss = mse(pred.clamp(-1, 1), torch.from_numpy(gt).clamp(-1, 1))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(oracle_t.parameters(), 0.05)
+        opt.step()
+        return float(loss)
+
+    losses_t, losses_j, resyncs = [], [], []
+    for t, (vids, gt) in enumerate(zip(batches, gt_actions)):
+        if resync_every and t % resync_every == 0:
+            sync_params = {"policy": convert_behavior_cloner(
+                oracle_t.state_dict())["params"]}
+            m1, m2, step_cnt = _torch_moments(torch, oracle_t, opt)
+            mu = {"policy": convert_behavior_cloner(m1)["params"]}
+            nu = {"policy": convert_behavior_cloner(m2)["params"]}
+            sync_state = tr.state.replace(
+                step=jnp.asarray(t, jnp.int32), params=sync_params,
+                opt_state=_with_adam_state(jax, tr.tx, sync_params, mu, nu,
+                                           step_cnt))
+            next_state, _ = tr._train_step(sync_state, jnp.asarray(vids),
+                                           jnp.asarray(gt), key, key)
+
+        orch(iter=t, epoch=0, exp_params=EXP_PARAMS_SCHED, end_epoch=False)
+        losses_t.append(torch_step(vids, gt))
+
+        if resync_every and t % resync_every == 0:
+            want = {"policy": convert_behavior_cloner(
+                oracle_t.state_dict())["params"]}
+            errs = _leaf_rel_errs(jax, next_state.params, want,
+                                  base_tree=sync_params)
+            resyncs.append({
+                "step": t,
+                "err_vs_global_update": _tree_abs_err(
+                    jax, next_state.params, want, sync_params),
+                "max_param_rel_err": max(errs.values()),
+                "worst_leaf": max(errs, key=errs.get)})
+
+        tr.state, ldict = tr._train_step(tr.state, jnp.asarray(vids),
+                                         jnp.asarray(gt), key, key)
+        losses_j.append(float(ldict["_total"]))
+
+    final_want = {"policy": convert_behavior_cloner(
+        oracle_t.state_dict())["params"]}
+    drift = _leaf_rel_errs(jax, tr.state.params, final_want,
+                           base_tree=init_params)
+    rel = [abs(a - b) / abs(a) for a, b in zip(losses_t, losses_j)]
+    return {
+        "num_steps": num_steps, "batch": B, "frames": T,
+        "lr": lr, "warmup_steps": warmup, "scheduler_steps": sched_steps,
+        "loss_torch_head": [round(v, 6) for v in losses_t[:5]],
+        "loss_jax_head": [round(v, 6) for v in losses_j[:5]],
+        "loss_torch_tail": [round(v, 6) for v in losses_t[-3:]],
+        "loss_jax_tail": [round(v, 6) for v in losses_j[-3:]],
+        "loss_rel_diff_per_step": [round(v, 8) for v in rel],
+        "loss_rel_diff_max_first_quarter":
+            max(rel[:max(1, num_steps // 4)]),
+        "loss_rel_diff_max": max(rel),
+        "resync_checks": resyncs,
+        "resync_max_err_vs_global_update": max(
+            r["err_vs_global_update"] for r in resyncs) if resyncs else None,
+        "resync_max_param_rel_err": max(r["max_param_rel_err"]
+                                        for r in resyncs) if resyncs else None,
+        "final_param_max_rel_err": max(drift.values()),
+        "final_param_worst_leaf": max(drift, key=drift.get),
+    }
+
+
 def main():
     import tempfile
     report = {"lr_schedule": compare_lr_sequences()}
@@ -615,6 +969,16 @@ def main():
           report["playslot"]["resync_max_err_vs_global_update"],
           "vq:", report["playslot"]["resync_max_vq_rel_err"],
           "loss max rel:", report["playslot"]["loss_rel_diff_max"], flush=True)
+    with tempfile.TemporaryDirectory() as d:
+        report["behavior"] = run_behavior_trajectory(d)
+    print("[behavior] resync max (vs global update):",
+          report["behavior"]["resync_max_err_vs_global_update"],
+          "loss max rel:", report["behavior"]["loss_rel_diff_max"], flush=True)
+    with tempfile.TemporaryDirectory() as d:
+        report["oracle"] = run_oracle_trajectory(d)
+    print("[oracle] resync max (vs global update):",
+          report["oracle"]["resync_max_err_vs_global_update"],
+          "loss max rel:", report["oracle"]["loss_rel_diff_max"], flush=True)
     out = os.path.join(_REPO, "docs", "TRAJECTORY_PARITY.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
