@@ -33,12 +33,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 NUM_SEED, NUM_PREDS = 6, 15
-BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "128"))
+BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "192"))
 COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
     "PLAYSLOT_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 # decode in N sequential chunks (lax.map) — divides the decode working set,
-# lifting the HBM batch ceiling (B=160 OOMs unchunked; docs/PERFORMANCE.md)
-DECODE_CHUNKS = int(os.environ.get("PLAYSLOT_BENCH_DECODE_CHUNKS", "1"))
+# lifting the HBM batch ceiling (B=160 OOMs unchunked; docs/PERFORMANCE.md):
+# measured sweep puts B=192 / 2 chunks at the throughput peak (3469 f/s/chip)
+DECODE_CHUNKS = int(os.environ.get("PLAYSLOT_BENCH_DECODE_CHUNKS", "2"))
 
 
 def build_models(dtype):
