@@ -167,18 +167,12 @@ class SAVi(nn.Module):
         (B*T*S, H, W, C) activation tensors that dominate eval memory — by
         num_chunks at the cost of num_chunks sequential launches. Exact same
         numerics as decode_fast (identical per-chunk program). Batch must be
-        divisible by num_chunks.
+        divisible by num_chunks; a batch smaller than num_chunks falls back
+        to one unchunked call (ops/chunked.py).
         """
-        if num_chunks <= 1:
-            return self.decode_fast(slots, train=train)
-        B = slots.shape[0]
-        if B % num_chunks:
-            raise ValueError(f"batch {B} not divisible by chunks {num_chunks}")
-        chunked = slots.reshape(num_chunks, B // num_chunks, *slots.shape[1:])
-        combined, recons, masks = jax.lax.map(
-            lambda s: self.decode_fast(s, train=train), chunked)
-        unchunk = lambda x: x.reshape(B, *x.shape[2:])
-        return unchunk(combined), unchunk(recons), unchunk(masks)
+        from playslot_tpu.ops.chunked import chunked_apply
+        return chunked_apply(lambda s: self.decode_fast(s, train=train),
+                             slots, num_chunks)
 
     # ------------------------------------------------------------ full video
     def __call__(self, x, num_imgs=None, decode=True, train=False,

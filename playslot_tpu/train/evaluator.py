@@ -8,6 +8,7 @@ src/03_evaluate_savi.py and src/05_evaluate_PlaySlot.py. The model forward
 function; metric accumulation happens host-side.
 """
 
+import math
 import os
 
 import jax
@@ -147,9 +148,18 @@ class PlaySlotEvaluator:
                     rng=k_prior)
                 parts.append(priors)
             preds = jnp.concatenate(parts, axis=1)  # (B, nsamp, npred, S, D)
+            # fold the sample axis into the chunked leading dim so chunking
+            # helps the full stochastic eval too (its default batch is 1 —
+            # the memory-dominant axis there is B*nsamp, not B); snap the
+            # requested chunk count to a divisor of B*nsamp (gcd) so the
+            # env knob never crashes an eval it cannot split evenly
+            flat = preds.reshape(-1, *preds.shape[2:])
+            eff_chunks = math.gcd(chunks, flat.shape[0])
             pred_imgs, _, _ = savi.apply(
-                {"params": savi_p}, preds,
-                method=lambda m, s: m.decode_fast_chunked(s, chunks))
+                {"params": savi_p}, flat,
+                method=lambda m, s: m.decode_fast_chunked(s, eff_chunks))
+            pred_imgs = pred_imgs.reshape(*preds.shape[:2],
+                                          *pred_imgs.shape[1:])
             return jnp.clip(pred_imgs, 0, 1)  # (B, nsamp, npred, H, W, C)
 
         self._forward = forward

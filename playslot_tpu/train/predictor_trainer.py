@@ -128,20 +128,12 @@ class PredictorTrainer(BaseTrainer):
                                     method=lambda m, s: m.decode_fast(s))
             return imgs
 
-        if tcfg.get("remat") or chunks > 1:
-            render_chunk = jax.checkpoint(render_chunk)
+        render_remat = bool(tcfg.get("remat")) or chunks > 1
 
         def render_preds(pred_slots):
-            if chunks <= 1:
-                return render_chunk(pred_slots)
-            B = pred_slots.shape[0]
-            if B % chunks:
-                raise ValueError(
-                    f"batch {B} not divisible by decode_chunks {chunks}")
-            split = pred_slots.reshape(chunks, B // chunks,
-                                       *pred_slots.shape[1:])
-            out = jax.lax.map(render_chunk, split)
-            return out.reshape(B, *out.shape[2:])
+            from playslot_tpu.ops.chunked import chunked_apply
+            return chunked_apply(render_chunk, pred_slots, chunks,
+                                 remat=render_remat)
 
         def forward(params, vq, videos, actions, keys, train, noise=None):
             with precision_ctx():

@@ -284,25 +284,17 @@ class SAViTrainer(BaseTrainer):
             return combined
 
         def make_render(train):
+            from playslot_tpu.ops.chunked import chunked_apply
             chunk = functools.partial(render_chunk, train=train)
-            if train and (remat or chunks > 1):
-                chunk = jax.checkpoint(chunk)
-            if chunks <= 1:
-                return chunk
 
-            def chunked(params, slot_history):
-                B = slot_history.shape[0]
-                if B % chunks:
-                    raise ValueError(
-                        f"batch {B} not divisible by decode_chunks {chunks}")
-                split = slot_history.reshape(chunks, B // chunks,
-                                             *slot_history.shape[1:])
-                out = jax.lax.map(lambda s: chunk(params, s), split)
-                return out.reshape(B, *out.shape[2:])
-            return chunked
+            def rendered(params, slot_history):
+                return chunked_apply(
+                    lambda s: chunk(params, s), slot_history, chunks,
+                    remat=train and (bool(remat) or chunks > 1))
+            return rendered
 
         render_train = make_render(True)
-        render = lambda params, sh, train: make_render(train)(params, sh)  # noqa: E731
+        render_eval = make_render(False)
 
         def loss_fn(params, videos, key):
             with precision_ctx():
@@ -328,7 +320,7 @@ class SAViTrainer(BaseTrainer):
             with precision_ctx():
                 out = model.apply({"params": state.params}, videos,
                                   decode=False, rngs={"slots": key})
-                recons = render(state.params, out["slot_history"], train=False)
+                recons = render_eval(state.params, out["slot_history"])
                 _, ldict = compute_losses(
                     loss_cfg, pred_imgs=recons, target_imgs=videos,
                     slot_history=out["slot_history"])

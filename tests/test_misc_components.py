@@ -328,3 +328,51 @@ def test_expert_demos_split_and_sketchy_indexing(tmp_path):
     video, _, meta = ds[0]
     assert video.shape == (3, 8, 8, 3)
     assert meta["actions"].shape == (3, 7)
+
+
+def test_stochastic_eval_decode_chunks_fold(tmp_path):
+    """decode_chunks on the full stochastic eval (default batch 1): the
+    sample axis is folded into the chunked dim, and a chunk count that
+    cannot split B*nsamp snaps to its gcd instead of crashing — results
+    are bit-identical to the unchunked eval either way."""
+    import copy
+    import jax as _jax
+    import jax.numpy as jnp
+    from playslot_tpu.config import Config, DEFAULTS
+    from playslot_tpu.models.factory import setup_model, setup_predictor
+    from playslot_tpu.train.evaluator import PlaySlotEvaluator
+    from tests.test_training import TINY_PRED, TINY_SAVI
+
+    cfg = Config(exp_path=str(tmp_path), **copy.deepcopy(DEFAULTS))
+    cfg["model"] = {"model_name": "SAVi",
+                    "model_params": copy.deepcopy(TINY_SAVI)}
+    cfg["predictor"] = copy.deepcopy(TINY_PRED)
+    cfg["dataset"].update({"dataset_name": "GridShapes", "num_frames": 4,
+                           "num_balls": 2, "img_size": 16, "shape_size": 5,
+                           "length": 4})
+    cfg.save()
+
+    key = _jax.random.PRNGKey(0)
+    savi = setup_model(cfg["model"])
+    sv = savi.init({"params": key, "slots": key},
+                   jnp.zeros((1, 2, 16, 16, 3)))
+    pred = setup_predictor(cfg["predictor"],
+                           savi_params=cfg["model"]["model_params"])
+    pv = pred.init({"params": key, "action": key},
+                   jnp.zeros((1, 4, 3, 16)), num_seed=2, num_preds=2)
+
+    # num_samples=3 -> B*nsamp = 3: chunks=2 snaps to gcd(2,3)=1;
+    # num_samples=4 -> B*nsamp = 4: chunks=2 genuinely splits
+    for nsamp in (3, 4):
+        results = {}
+        for chunks in (1, 2):
+            ev = PlaySlotEvaluator(str(tmp_path), sv, pv, num_seed=2,
+                                   num_preds=2, num_samples=nsamp,
+                                   post_only=False, metrics=("psnr",),
+                                   decode_chunks=chunks)
+            assert ev.batch_size == 1  # the stochastic-eval default
+            results[chunks] = ev.evaluate(max_batches=1)
+        for mode in results[1]:
+            a = results[1][mode]["psnr"]["mean"]
+            b = results[2][mode]["psnr"]["mean"]
+            assert np.isfinite(a) and a == b, (nsamp, mode, a, b)

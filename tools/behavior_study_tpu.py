@@ -395,10 +395,11 @@ def run_seed(seed):
             tr.load_data()
             tr.setup_model()
             tr.training_loop()
-            eval_metrics = ("psnr", "miou") if SAVI_MIN_MIOU_BAR > 0 \
-                else ("psnr",)
+            # mIoU comes from SAViEvaluator's compute_miou=True default
+            # (it is not a MetricTracker metric), so the floor needs no
+            # extra metrics entry
             savi_res = SAViEvaluator(exp, {"params": tr.state.params},
-                                     metrics=eval_metrics,
+                                     metrics=("psnr",),
                                      results_name="savi_eval"
                                      ).evaluate(max_batches=2)
             miou = float(savi_res.get("miou", {}).get("mean", -1))

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import optax
 
 from bench import COMPUTE_DTYPE, build_models
+from playslot_tpu.ops.chunked import chunked_apply
 from playslot_tpu.train.losses import compute_losses
 
 BATCH = int(os.environ.get("PLAYSLOT_TRAINBENCH_BATCH", "32"))
@@ -63,17 +64,9 @@ def _savi_losses(savi, params, videos, key, fast=True, remat=False, chunks=1):
             else (lambda m, s: m.decode(s, train=True))
         return savi.apply({"params": p}, slot_history, method=method)[0]
 
-    if remat or chunks > 1:
-        render_chunk = jax.checkpoint(render_chunk)
-
     def render(p, slot_history):
-        if chunks <= 1:
-            return render_chunk(p, slot_history)
-        B = slot_history.shape[0]
-        split = slot_history.reshape(chunks, B // chunks,
-                                     *slot_history.shape[1:])
-        out = jax.lax.map(lambda s: render_chunk(p, s), split)
-        return out.reshape(B, *out.shape[2:])
+        return chunked_apply(lambda s: render_chunk(p, s), slot_history,
+                             chunks, remat=remat or chunks > 1)
 
     out = savi.apply({"params": params}, videos, train=True, decode=False,
                      rngs={"slots": key})
@@ -131,16 +124,9 @@ def playslot_programs(savi, predictor, savi_params, tx, remat=False, chunks=1):
                                 method=lambda m, s: m.decode_fast(s))
         return imgs
 
-    if remat or chunks > 1:
-        render_chunk = jax.checkpoint(render_chunk)
-
     def render_preds(pred_slots):
-        if chunks <= 1:
-            return render_chunk(pred_slots)
-        B = pred_slots.shape[0]
-        split = pred_slots.reshape(chunks, B // chunks, *pred_slots.shape[1:])
-        out = jax.lax.map(render_chunk, split)
-        return out.reshape(B, *out.shape[2:])
+        return chunked_apply(render_chunk, pred_slots, chunks,
+                             remat=remat or chunks > 1)
 
     def loss_fn(p, vq, slots, videos, ka):
         (pred_slots, out), new_vars = predictor.apply(

@@ -220,7 +220,15 @@ def run_seed(seed, per_seed):
         if (epoch + 1) in EVAL_MID:
             res = closed_loop(exp, pred_path, cfg, savi_params, ptr.state,
                               tag=f"e{epoch + 1}")
-            curve[-1]["closed_loop"] = res
+            # attach to THIS epoch's curve point; when the eval epoch is
+            # not a probe epoch, append a dedicated entry rather than
+            # mislabeling the previous probe point
+            if curve and curve[-1]["epoch"] == epoch + 1:
+                curve[-1]["closed_loop"] = res
+            else:
+                curve.append({"epoch": epoch + 1,
+                              "steps": (epoch + 1) * study.ITERS,
+                              "closed_loop": res})
             log(f"[seed {seed}] mid closed-loop @ {epoch + 1}: {res}")
             _flush(per_seed + [out])
 
