@@ -129,11 +129,7 @@ def run_seed(seed):
     return out
 
 
-def main():
-    per_seed = []
-    for seed in SEEDS:
-        per_seed.append(run_seed(seed))
-
+def write_report(per_seed, done):
     def agg(arm, key):
         vals = [s[arm][key] for s in per_seed]
         return {"mean": float(np.mean(vals)), "std": float(np.std(vals)),
@@ -142,6 +138,8 @@ def main():
     report = {
         "config": {"seeds": SEEDS, "bc_epochs": BC_EPOCHS,
                    "num_sims": NUM_SIMS, "pred_name": PRED_NAME},
+        "seeds_completed": [s["seed"] for s in per_seed],
+        "complete": done,
         "per_seed": per_seed,
         "aggregate": {arm: {k: agg(arm, k)
                             for k in ("grounded", "imagination")}
@@ -150,7 +148,17 @@ def main():
     out_path = os.path.join(EXP_ROOT, "OPTAB_RESULTS.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
-    log(f"wrote {out_path}")
+    log(f"wrote {out_path} ({len(per_seed)}/{len(SEEDS)} seeds)")
+    return report
+
+
+def main():
+    per_seed = []
+    for seed in SEEDS:
+        per_seed.append(run_seed(seed))
+        # checkpoint the report after every seed so a partial run still
+        # leaves a usable aggregate on disk
+        report = write_report(per_seed, done=(len(per_seed) == len(SEEDS)))
     for arm in ("reference_exact", "fused_r3"):
         a = report["aggregate"][arm]
         log(f"{arm}: imagination {a['imagination']['mean']:.2f} "
