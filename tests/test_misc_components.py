@@ -376,3 +376,52 @@ def test_stochastic_eval_decode_chunks_fold(tmp_path):
             a = results[1][mode]["psnr"]["mean"]
             b = results[2][mode]["psnr"]["mean"]
             assert np.isfinite(a) and a == b, (nsamp, mode, a, b)
+
+
+def test_behavior_optimizer_semantics():
+    """Fast pin of build_behavior_optimizer (reference stage-3 rule,
+    src/10_learn_behavior_from_demos.py:80-137,205-217): equals two
+    INDEPENDENT Adams — policy on the warmup+cosine schedule, decoder at
+    CONSTANT base lr — with NO gradient clipping. The slow torch-resync
+    check lives in tests/test_training_trajectory_parity.py; this guards
+    the optax construction itself."""
+    import optax
+    from playslot_tpu.train.schedulers import (build_behavior_optimizer,
+                                               build_lr_schedule)
+
+    tcfg = {"lr": 1e-3, "scheduler": "cosine_annealing", "lr_warmup": True,
+            "warmup_steps": 4, "scheduler_steps": 20,
+            # present in configs but MUST be ignored by the stage-3 rule
+            "gradient_clipping": True, "clipping_max_value": 1e-8}
+    tx, _ = build_behavior_optimizer(tcfg)
+
+    key = jax.random.PRNGKey(0)
+    kp, kd, kg = jax.random.split(key, 3)
+    params = {"policy": {"w": jax.random.normal(kp, (3, 3))},
+              "decoder": {"w": jax.random.normal(kd, (3,))}}
+
+    schedule = build_lr_schedule(tcfg)
+    ref_pol = optax.adam(schedule)
+    ref_dec = optax.adam(tcfg["lr"])  # constant base lr, never scheduled
+
+    state = tx.init(params)
+    sp = ref_pol.init(params["policy"])
+    sd = ref_dec.init(params["decoder"])
+    ours, ref = params, copy.deepcopy(params)
+    for step in range(8):
+        # grads far above clipping_max_value: clipping would shrink them
+        g = {"policy": {"w": 5.0 * jax.random.normal(kg, (3, 3)) + step},
+             "decoder": {"w": 5.0 * jax.random.normal(kg, (3,)) - step}}
+        up, state = tx.update(g, state, ours)
+        ours = optax.apply_updates(ours, up)
+        upp, sp = ref_pol.update(g["policy"], sp, ref["policy"])
+        upd, sd = ref_dec.update(g["decoder"], sd, ref["decoder"])
+        ref = {"policy": optax.apply_updates(ref["policy"], upp),
+               "decoder": optax.apply_updates(ref["decoder"], upd)}
+    for branch in ("policy", "decoder"):
+        np.testing.assert_allclose(np.asarray(ours[branch]["w"]),
+                                   np.asarray(ref[branch]["w"]),
+                                   rtol=1e-6, atol=1e-7, err_msg=branch)
+    # the two branches must have actually received DIFFERENT lrs
+    assert not np.allclose(np.asarray(ours["policy"]["w"]),
+                           np.asarray(params["policy"]["w"]))

@@ -153,9 +153,23 @@ def write_report(per_seed, done):
 
 
 def main():
+    # resume: keep already-measured seeds from a previous partial run so the
+    # committed report accumulates to the full seed list
     per_seed = []
+    out_path = os.path.join(EXP_ROOT, "OPTAB_RESULTS.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        per_seed = [s for s in prev.get("per_seed", []) if s["seed"] in SEEDS]
+        if per_seed:
+            log(f"resuming: seeds {[s['seed'] for s in per_seed]} already done")
+    report = write_report(per_seed, done=False) if per_seed else None
+    done_seeds = {s["seed"] for s in per_seed}
     for seed in SEEDS:
+        if seed in done_seeds:
+            continue
         per_seed.append(run_seed(seed))
+        per_seed.sort(key=lambda s: s["seed"])
         # checkpoint the report after every seed so a partial run still
         # leaves a usable aggregate on disk
         report = write_report(per_seed, done=(len(per_seed) == len(SEEDS)))
