@@ -4,7 +4,7 @@ Image encoders (channels-last / NHWC, TPU-native).
 Capability parity with reference src/models/EncodersDecoders/encoders.py:
 a stack of Conv(+BN)(+MaxPool)+ReLU blocks; the LAST conv has no activation.
 
-A space-to-depth form of the stride-1 stacks (ops/s2d_conv.py) is built in
+A space-to-depth form of the stride-1 stacks (ops/experimental/s2d_conv.py) is built in
 and flag-selectable, but MEASURED OFF by default: the 32-channel convs
 underfill the MXU's 128 lanes and the f=2 re-gridding (f^2*C channels,
 exact to float reassociation) wins 8 ms on the isolated conv slice
@@ -23,7 +23,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 
 from playslot_tpu.models.blocks import ConvBlock, xavier_init, zeros_init
-from playslot_tpu.ops.s2d_conv import (depth_to_space, s2d_conv_block,
+from playslot_tpu.ops.experimental.s2d_conv import (depth_to_space, s2d_conv_block,
                                        space_to_depth)
 
 

@@ -19,13 +19,18 @@ class Logger:
         global _LOGGER
         os.makedirs(exp_path, exist_ok=True)
         self.path = os.path.join(exp_path, file_name)
-        with open(self.path, "a") as f:
-            f.write(f"\n{'=' * 60}\nNew run {datetime.now().isoformat()}\n{'=' * 60}\n")
+        # keep the handle open (line-buffered) instead of reopening per
+        # message — per-batch logging in tight training loops otherwise pays
+        # an open/close syscall pair per line
+        self._fh = open(self.path, "a", buffering=1)
+        self._fh.write(
+            f"\n{'=' * 60}\nNew run {datetime.now().isoformat()}\n{'=' * 60}\n")
+        if _LOGGER is not None and getattr(_LOGGER, "_fh", None) is not None:
+            _LOGGER._fh.close()
         _LOGGER = self
 
     def write(self, msg):
-        with open(self.path, "a") as f:
-            f.write(f"{datetime.now().strftime('%H:%M:%S')}  {msg}\n")
+        self._fh.write(f"{datetime.now().strftime('%H:%M:%S')}  {msg}\n")
 
 
 def print_(msg, verbose=True):

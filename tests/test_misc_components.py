@@ -422,6 +422,12 @@ def test_behavior_optimizer_semantics():
         np.testing.assert_allclose(np.asarray(ours[branch]["w"]),
                                    np.asarray(ref[branch]["w"]),
                                    rtol=1e-6, atol=1e-7, err_msg=branch)
-    # the two branches must have actually received DIFFERENT lrs
+    # the branch distinction must be provable: over the 8 steps taken the
+    # policy's scheduled lr must actually differ from the decoder's constant
+    # base lr, otherwise the per-branch allclose gates above degenerate into
+    # a single-lr check and a same-lr regression would pass unnoticed
+    sched_lrs = np.asarray([float(schedule(t)) for t in range(8)])
+    assert np.any(np.abs(sched_lrs - tcfg["lr"]) > 1e-6 * tcfg["lr"]), \
+        "warmup/cosine schedule coincides with base lr over the test window"
     assert not np.allclose(np.asarray(ours["policy"]["w"]),
                            np.asarray(params["policy"]["w"]))

@@ -60,7 +60,7 @@ def test_vq_kernel_parity():
 
 
 def test_decoder_stack_kernel_parity():
-    from playslot_tpu.ops.pallas.decoder_stack_kernel import decoder_stack_pallas
+    from playslot_tpu.ops.experimental.decoder_stack_kernel import decoder_stack_pallas
     rng = np.random.RandomState(0)
     M, H, W, C, CO, L = 2, 16, 16, 8, 4, 2
     x = jnp.asarray(rng.randn(M, H, W, C).astype(np.float32)) * 0.3
@@ -83,7 +83,7 @@ def test_decoder_stack_kernel_parity():
 
 
 def test_decoder_stack_kernel_v2_parity():
-    from playslot_tpu.ops.pallas.decoder_stack_kernel_v2 import (
+    from playslot_tpu.ops.experimental.decoder_stack_kernel_v2 import (
         decoder_stack_pallas_v2)
     rng = np.random.RandomState(1)
     M, H, W, C, CO, L = 2, 16, 16, 8, 4, 2
@@ -106,7 +106,7 @@ def test_decoder_stack_kernel_v2_parity():
 
 
 def test_decoder_stack_kernel_v3_parity():
-    from playslot_tpu.ops.pallas.decoder_stack_kernel_v3 import (
+    from playslot_tpu.ops.experimental.decoder_stack_kernel_v3 import (
         decoder_stack_pallas_v3)
     rng = np.random.RandomState(2)
     M, H, W, C, CO, L = 2, 16, 16, 8, 4, 2

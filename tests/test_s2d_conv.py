@@ -1,5 +1,5 @@
 """
-Exactness tests for the space-to-depth conv reformulation (ops/s2d_conv.py)
+Exactness tests for the space-to-depth conv reformulation (ops/experimental/s2d_conv.py)
 against lax.conv_general_dilated at stride 1 / SAME padding — the decoder
 conv family (reference decoders.py:45-118). The mapping is algebraically
 exact: same taps, same summands, float reassociation only.
@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from playslot_tpu.ops.s2d_conv import (depth_to_space, s2d_conv,
+from playslot_tpu.ops.experimental.s2d_conv import (depth_to_space, s2d_conv,
                                        space_to_depth, tiled_conv)
 
 _DN = ("NHWC", "HWIO", "NHWC")

@@ -160,10 +160,26 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             prev = json.load(f)
-        per_seed = [s for s in prev.get("per_seed", []) if s["seed"] in SEEDS]
-        if per_seed:
-            log(f"resuming: seeds {[s['seed'] for s in per_seed]} already done")
-    report = write_report(per_seed, done=False) if per_seed else None
+        # refuse to mix seeds measured under a different config — a resumed
+        # report must not claim the current config for seeds run under
+        # different BC_EPOCHS/NUM_SIMS/PRED_NAME overrides
+        cur_cfg = {"seeds": SEEDS, "bc_epochs": BC_EPOCHS,
+                   "num_sims": NUM_SIMS, "pred_name": PRED_NAME}
+        prev_cfg = prev.get("config", {})
+        comparable = {k: prev_cfg.get(k) for k in ("bc_epochs", "num_sims",
+                                                   "pred_name")}
+        want = {k: cur_cfg[k] for k in comparable}
+        if comparable != want:
+            log(f"config mismatch vs previous report ({comparable} != "
+                f"{want}); discarding prior seeds")
+        else:
+            per_seed = [s for s in prev.get("per_seed", [])
+                        if s["seed"] in SEEDS]
+            if per_seed:
+                log(f"resuming: seeds {[s['seed'] for s in per_seed]} "
+                    "already done")
+    report = (write_report(per_seed, done=(len(per_seed) == len(SEEDS)))
+              if per_seed else None)
     done_seeds = {s["seed"] for s in per_seed}
     for seed in SEEDS:
         if seed in done_seeds:

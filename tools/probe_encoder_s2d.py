@@ -5,7 +5,7 @@ One-off probe (round 3): is the encoder conv stack worth lane-filling?
 docs/ENCODE_BREAKDOWN.json (B=128, bf16): conv stack = 26.3 ms net of the
 549 ms step, vs ~9 ms FLOP speed-of-light — the encoder's 32-channel convs
 underfill the MXU (docs/PERFORMANCE.md "~6 % MXU"). This probe A/Bs the
-exact-rewrite space-to-depth stack (ops/s2d_conv.py, built round 3 for the
+exact-rewrite space-to-depth stack (ops/experimental/s2d_conv.py, built round 3 for the
 decoder where it tied) on the ENCODER shapes, plus the slot-attention k/v
 hoist: LayerNorm + k/v projections computed per frame inside the recurrence
 (21x) vs once, batched over all frames.
@@ -25,7 +25,7 @@ from _bench_util import relay_overhead_ms, setup, timed
 jax = setup()
 import jax.numpy as jnp
 
-from playslot_tpu.ops.s2d_conv import s2d_conv_block, space_to_depth, depth_to_space
+from playslot_tpu.ops.experimental.s2d_conv import s2d_conv_block, space_to_depth, depth_to_space
 
 M, H, W = 128 * 21, 64, 64
 K = 5
