@@ -40,6 +40,15 @@ COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
 # lifting the HBM batch ceiling (B=160 OOMs unchunked; docs/PERFORMANCE.md):
 # measured sweep puts B=192 / 2 chunks at the throughput peak (3469 f/s/chip)
 DECODE_CHUNKS = int(os.environ.get("PLAYSLOT_BENCH_DECODE_CHUNKS", "2"))
+# encode memory lever (engine/streaming.py): 0 = hoisted all-frame batched
+# encode (models/savi.py); N > 0 = scan the encode through the recurrence in
+# N-frame groups, shrinking encoder live memory ~T/N-fold — the lever that
+# lifts the B>=256 non-decode HBM ceiling (docs/PERFORMANCE.md)
+ENCODE_CHUNK = int(os.environ.get("PLAYSLOT_BENCH_ENCODE_CHUNK", "0"))
+# fuse the composite+clip+checksum epilogue into the decode chunk bodies
+# (ops/chunked.py chunked_apply_reduce): per-slot recons/masks and full
+# pred frames never round-trip HBM at full batch
+FUSED_EPILOGUE = os.environ.get("PLAYSLOT_BENCH_FUSED_EPILOGUE", "0") == "1"
 
 
 def build_models(dtype):
@@ -96,19 +105,33 @@ def main():
 
     from playslot_tpu.engine.rollout import posterior_rollout
 
+    from playslot_tpu.engine.streaming import streaming_slot_history
+    from playslot_tpu.ops.chunked import chunked_apply_reduce
+
     @jax.jit
     def forward(savi_params, pred_variables, videos, key):
-        slots = savi.apply({"params": savi_params}, videos, decode=False
-                           )["slot_history"]
+        if ENCODE_CHUNK > 0:
+            slots = streaming_slot_history(savi, {"params": savi_params},
+                                           videos, frame_chunk=ENCODE_CHUNK)
+        else:
+            slots = savi.apply({"params": savi_params}, videos, decode=False
+                               )["slot_history"]
         preds = posterior_rollout(predictor, pred_variables, slots,
                                   NUM_SEED, NUM_PREDS, rng=key)
+        # device-side checksum: fetching this scalar is the only reliable way
+        # to force full execution on relayed TPU backends where
+        # block_until_ready returns immediately
+        if FUSED_EPILOGUE:
+            parts = chunked_apply_reduce(
+                lambda s: savi.apply({"params": savi_params}, s,
+                                     method=lambda m, c: m.decode_fast(c))[0],
+                preds, DECODE_CHUNKS,
+                lambda imgs: jnp.sum(jnp.clip(imgs.astype(jnp.float32), 0, 1)))
+            return jnp.sum(parts)
         pred_imgs, _, _ = savi.apply(
             {"params": savi_params}, preds,
             method=lambda m, s: m.decode_fast_chunked(s, DECODE_CHUNKS))
         pred_imgs = jnp.clip(pred_imgs.astype(jnp.float32), 0, 1)
-        # device-side checksum: fetching this scalar is the only reliable way
-        # to force full execution on relayed TPU backends where
-        # block_until_ready returns immediately
         return jnp.sum(pred_imgs)
 
     args = (savi_vars["params"], pred_vars, videos, key)

@@ -74,7 +74,7 @@ class BatchIterator:
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=0, drop_last=True,
-                 prefetch=2):
+                 prefetch=2, process_slice=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -82,6 +82,12 @@ class BatchIterator:
         self.drop_last = drop_last
         self.prefetch = max(prefetch, 1)
         self.epoch = 0
+        # multi-process runtime (parallel/distributed.py): (lo, hi) rows of
+        # each GLOBAL batch this process loads. The index order is seeded,
+        # so every process sees the same global order and materializes only
+        # its own contiguous slice; the trainer reassembles the global batch
+        # with jax.make_array_from_process_local_data.
+        self.process_slice = process_slice
 
     def __len__(self):
         n = len(self.dataset)
@@ -123,7 +129,10 @@ class BatchIterator:
             # not silently truncate the epoch at the sentinel
             try:
                 for s in starts:
-                    q.put(self._collate(order[s:s + self.batch_size]))
+                    idxs = order[s:s + self.batch_size]
+                    if self.process_slice is not None:
+                        idxs = idxs[self.process_slice[0]:self.process_slice[1]]
+                    q.put(self._collate(idxs))
             except BaseException as e:  # noqa: BLE001 — re-raised below
                 failure.append(e)
             finally:
@@ -141,15 +150,23 @@ class BatchIterator:
 
 
 def build_data_loader(dataset, batch_size=64, shuffle=False, seed=None):
-    """Mirror of reference build_data_loader (load_data.py:72-92)."""
+    """Mirror of reference build_data_loader (load_data.py:72-92). Under a
+    multi-process runtime each process's iterator loads only its
+    process_shard rows of every global batch (parallel/distributed.py)."""
     if getattr(dataset, "is_device_dataset", False):
         from playslot_tpu.data.gridshapes_jax import DeviceBatchIterator
         return DeviceBatchIterator(dataset, batch_size=batch_size,
                                    shuffle=shuffle,
                                    seed=seed if seed is not None
                                    else CONFIG["random_seed"])
+    process_slice = None
+    import jax
+    if jax.process_count() > 1:
+        from playslot_tpu.parallel.distributed import process_shard
+        process_slice = process_shard(batch_size)
     return BatchIterator(dataset, batch_size=batch_size, shuffle=shuffle,
-                         seed=seed if seed is not None else CONFIG["random_seed"])
+                         seed=seed if seed is not None else CONFIG["random_seed"],
+                         process_slice=process_slice)
 
 
 def unwrap_batch_data(exp_params, batch_data):

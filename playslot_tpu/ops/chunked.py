@@ -43,3 +43,27 @@ def chunked_apply(fn, x, num_chunks=1, remat=False):
     split = x.reshape(num_chunks, batch // num_chunks, *x.shape[1:])
     out = jax.lax.map(fn, split)
     return jax.tree.map(lambda a: a.reshape(batch, *a.shape[2:]), out)
+
+
+def chunked_apply_reduce(fn, x, num_chunks, reduce_fn):
+    """
+    Chunked apply with the epilogue FUSED into the chunk body: each chunk
+    computes ``reduce_fn(fn(chunk))`` and only the reduced leaves are kept
+    (stacked along a leading chunk axis) — outputs the epilogue consumes
+    and discards (e.g. per-slot recons/masks feeding only a composite, or
+    full frames feeding only a checksum) are never written back to HBM at
+    full batch size. The caller folds the per-chunk leaves (sum/concat/...).
+
+    Equivalent by construction to ``reduce_fn`` applied per-chunk after
+    ``chunked_apply`` — the fusion moves bandwidth, not math.
+    """
+    def body(chunk):
+        return reduce_fn(fn(chunk))
+    batch = x.shape[0]
+    if num_chunks <= 1 or batch < num_chunks:
+        return jax.tree.map(lambda a: a[None], body(x))
+    if batch % num_chunks:
+        raise ValueError(
+            f"batch {batch} not divisible by chunks {num_chunks}")
+    split = x.reshape(num_chunks, batch // num_chunks, *x.shape[1:])
+    return jax.lax.map(body, split)

@@ -137,6 +137,12 @@ class Callbacks:
     """Registry + dispatcher; loads per-experiment callbacks.py plugins."""
 
     def __init__(self, trainer):
+        import jax
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-process runtime: every default callback writes files
+            # into the (shared) experiment dir — only process 0 logs
+            self.callbacks = []
+            return
         self.callbacks = [cls(trainer) for cls in DEFAULT_CALLBACKS]
         plugin = os.path.join(trainer.exp_path, "callbacks.py")
         if os.path.exists(plugin):

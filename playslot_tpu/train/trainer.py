@@ -169,8 +169,15 @@ class BaseTrainer:
         if getattr(self, "mesh", None) is None:
             return jnp.asarray(videos)
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return jax.device_put(jnp.asarray(videos),
-                              NamedSharding(self.mesh, P("data")))
+        sharding = NamedSharding(self.mesh, P("data"))
+        if jax.process_count() > 1:
+            # multi-process runtime: `videos` holds only this process's
+            # process_shard rows (data/loader.py); assemble the global batch
+            # from the per-host shards — no host ever materializes rows it
+            # does not own
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(videos))
+        return jax.device_put(jnp.asarray(videos), sharding)
 
     def _compute_dtype(self):
         """bf16 compute when training.compute_dtype == 'bfloat16' (f32 default)."""
@@ -201,6 +208,12 @@ class BaseTrainer:
 
     # ---------------------------------------------------------- checkpoints
     def save(self, name):
+        # Multi-process: EVERY process must call into orbax — its save
+        # protocol runs cross-process barriers internally and writes each
+        # (host-numpy, hence replicated) leaf from the primary host only.
+        # Gating this call on process_index deadlocks: process 0 waits at
+        # orbax's barrier while the others wait at the next training
+        # collective (measured, tests/test_multiprocess_runtime.py).
         save_checkpoint(os.path.join(self.models_path, name), {
             "state": jax.device_get(flax.serialization.to_state_dict(self.state)),
             "epoch": np.asarray(getattr(self, "epoch", 0)),

@@ -86,6 +86,45 @@ RESULTS = os.environ.get("PLAYSLOT_ENVELOPE_RESULTS", "ENVELOPE_RESULTS.json")
 # 2x30 sims per probe point listed, comma-separated epoch numbers)
 EVAL_MID = [int(e) for e in os.environ.get(
     "PLAYSLOT_ENVELOPE_EVAL_MID", "").split(",") if e]
+# --- gate protocol (VERDICT r4 item 3): the shipped recipe's 5-seed result
+# used (a) SNR-gated SAVi selection and (b) best-of-k predictor selection on
+# the latent-channel probe; the reference-exact arm ran ungated. This run
+# applies both gates: the committed per-seed SAVi checkpoints are the GATED
+# selections (all pass the 0.005 slot-difference SNR bar — re-probed and
+# recorded in PROD_RESULTS_5SEED_GATED.json by tools/backfill_5seed_probe.py),
+# and the predictor gets up to PRED_ATTEMPTS trainings per seed (fresh
+# training seed each), keeping the best r2_mean_to_action and stopping early
+# once it clears CHANNEL_BAR (the bar behavior_study_tpu.py:130-137 uses).
+PRED_ATTEMPTS = int(os.environ.get("PLAYSLOT_ENVELOPE_PRED_ATTEMPTS", "2"))
+CHANNEL_BAR = float(os.environ.get("PLAYSLOT_ENVELOPE_CHANNEL_BAR", "0.5"))
+SAVI_SNR_BAR = 0.005
+
+
+def _savi_gate(seed):
+    """SNR-gate record for the committed SAVi checkpoint: prefer the
+    committed backfilled probe values (same checkpoints, same instrument),
+    probe live only if absent."""
+    gated = os.path.join(study.EXP_ROOT, "PROD_RESULTS_5SEED_GATED.json")
+    if os.path.isfile(gated):
+        with open(gated) as f:
+            rows = json.load(f).get("per_seed", [])
+        for r in rows:
+            if r.get("seed") == seed and r.get("savi_channel_snr") is not None:
+                snr = float(r["savi_channel_snr"])
+                return {"savi_channel_snr": snr, "bar": SAVI_SNR_BAR,
+                        "passes": snr >= SAVI_SNR_BAR,
+                        "source": "PROD_RESULTS_5SEED_GATED.json"}
+    from playslot_tpu.models.factory import setup_model
+    from probe_slotdiff_channel import slotdiff_r2
+    exp = os.path.join(study.EXP_ROOT, f"seed{seed}")
+    cfg = Config.load(exp)
+    params = load_checkpoint(
+        os.path.join(exp, "models", "checkpoint_epoch_final"))["state"]["params"]
+    img = cfg["dataset"].get("img_size", 64)
+    snr = float(slotdiff_r2(setup_model(cfg["model"]), params,
+                            img_size=img if isinstance(img, int) else img[0])[1])
+    return {"savi_channel_snr": round(snr, 4), "bar": SAVI_SNR_BAR,
+            "passes": snr >= SAVI_SNR_BAR, "source": "live probe"}
 
 
 def _flush(per_seed):
@@ -105,6 +144,9 @@ def _flush(per_seed):
                 "action_dim": study.ACTION_DIM,
                 "baseline_schedule_steps": 8 * 500,
                 "schedule_steps": EPOCHS * study.ITERS,
+                "gate": {"savi_snr_bar": SAVI_SNR_BAR,
+                         "pred_attempts": PRED_ATTEMPTS,
+                         "channel_r2_bar": CHANNEL_BAR},
             },
             "per_seed": per_seed,
         }, f, indent=2)
@@ -158,19 +200,14 @@ def closed_loop(exp, pred_path, cfg, savi_params, ptr_state, tag):
     return {"grounded": grounded, "imagination": imagination}
 
 
-def run_seed(seed, per_seed):
+def train_attempt(seed, attempt, exp, cfg, savi_params, per_seed, out):
+    """One reference-exact predictor training (stage-3 of the study) under
+    training seed `seed*100 + attempt` — the study's fresh-candidate
+    convention (behavior_study_tpu.py:78-84)."""
     from playslot_tpu.train.predictor_trainer import PredictorTrainer
 
-    exp = os.path.join(study.EXP_ROOT, f"seed{seed}")
-    savi_ckpt = os.path.join(exp, "models", "checkpoint_epoch_final")
-    assert os.path.isdir(savi_ckpt), \
-        f"committed round-3 SAVi checkpoint required at {savi_ckpt}"
-    out = {"seed": seed, "savi_reused": savi_ckpt}
-    cfg = Config.load(exp)
-    savi_params = load_checkpoint(savi_ckpt)["state"]["params"]
-
-    # --- predictor config: stage-3 of the study, reference-exact knobs
-    pred_path = os.path.join(exp, "predictors", study.PRED_NAME)
+    name = study.PRED_NAME if attempt == 0 else f"{study.PRED_NAME}_a{attempt}"
+    pred_path = os.path.join(exp, "predictors", name)
     os.makedirs(pred_path, exist_ok=True)
     pcfg = Config.load(exp)
     pcfg["dataset"]["target_walk"] = 0.0
@@ -184,18 +221,20 @@ def run_seed(seed, per_seed):
                                  "input_buffer_size": 8}
     pcfg["training"]["num_epochs"] = EPOCHS
     pcfg["training"]["scheduler_steps"] = EPOCHS * study.ITERS
-    pcfg["training"]["seed"] = seed * 100
+    pcfg["training"]["seed"] = seed * 100 + attempt
     pcfg.save(pred_path)
 
-    log(f"[seed {seed}] envelope: reference-exact predictor, "
-        f"{EPOCHS}x{study.ITERS} steps (4x round-3 schedule)")
-    ptr = PredictorTrainer(exp, name_predictor_experiment=study.PRED_NAME)
+    log(f"[seed {seed}] envelope attempt {attempt}: reference-exact "
+        f"predictor, {EPOCHS}x{study.ITERS} steps (4x round-3 schedule)")
+    ptr = PredictorTrainer(exp, name_predictor_experiment=name)
     ptr.load_data()
     ptr.load_savi(savi_params=savi_params)
     ptr.setup_predictor()
 
     curve = []
-    out["curve"] = curve
+    rec = {"attempt": attempt, "pred_name": name,
+           "training_seed": seed * 100 + attempt, "curve": curve}
+    out["attempts"].append(rec)
     for epoch in range(EPOCHS):
         ptr.epoch = epoch
         tl = ptr.run_epoch(ptr.train_loader, train=True,
@@ -233,11 +272,49 @@ def run_seed(seed, per_seed):
             _flush(per_seed + [out])
 
     ptr.save("checkpoint_epoch_final")
+    probes = [p for p in curve if "r2_mean_to_action" in p]
+    rec["final_r2_mean"] = probes[-1]["r2_mean_to_action"] if probes else None
+    rec["final_snr"] = probes[-1].get("bootstrap_snr") if probes else None
+    return rec, ptr, pred_path
+
+
+def run_seed(seed, per_seed):
+    exp = os.path.join(study.EXP_ROOT, f"seed{seed}")
+    savi_ckpt = os.path.join(exp, "models", "checkpoint_epoch_final")
+    assert os.path.isdir(savi_ckpt), \
+        f"committed round-3 SAVi checkpoint required at {savi_ckpt}"
+    out = {"seed": seed, "savi_reused": savi_ckpt,
+           "savi_gate": _savi_gate(seed), "attempts": []}
+    log(f"[seed {seed}] savi gate: {out['savi_gate']}")
+    cfg = Config.load(exp)
+    savi_params = load_checkpoint(savi_ckpt)["state"]["params"]
+
+    best = None
+    for attempt in range(PRED_ATTEMPTS):
+        rec, ptr, pred_path = train_attempt(
+            seed, attempt, exp, cfg, savi_params, per_seed, out)
+        r2 = rec["final_r2_mean"] if rec["final_r2_mean"] is not None else -1.0
+        rec["passes_channel_bar"] = r2 >= CHANNEL_BAR
+        if best is None or r2 > (best[0]["final_r2_mean"] or -1.0):
+            best = (rec, ptr, pred_path)
+        _flush(per_seed + [out])
+        if r2 >= CHANNEL_BAR:
+            break
+        log(f"[seed {seed}] attempt {attempt} r2_mean={r2:.3f} < "
+            f"{CHANNEL_BAR} channel bar")
+
+    rec, ptr, pred_path = best
+    rec["selected"] = True
+    out["pred_gate"] = {"channel_r2_bar": CHANNEL_BAR,
+                        "attempts_run": len(out["attempts"]),
+                        "selected_attempt": rec["attempt"],
+                        "selected_r2_mean": rec["final_r2_mean"]}
+    out["curve"] = rec["curve"]  # legacy schema: the selected attempt's curve
     usage = np.asarray(
         ptr.state.vq["latent_action"]["quantizer"]["usage_bins"])
     out["vq_usage"] = np.round(usage, 3).tolist()
 
-    log(f"[seed {seed}] final closed loop...")
+    log(f"[seed {seed}] final closed loop (attempt {rec['attempt']})...")
     res = closed_loop(exp, pred_path, cfg, savi_params, ptr.state, tag="final")
     out["policy_success_grounded"] = res["grounded"]
     out["policy_success_imagination"] = res["imagination"]

@@ -43,9 +43,15 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def _load_frames(args, exp_params):
+    gt_masks = None
     if args.frames:
         data = np.load(args.frames)
         videos = np.asarray(data["videos"], np.float32)
+        if "masks" in data:
+            # GT instance segmentation -> the report gains Hungarian mIoU
+            # for both sides (the BASELINE gate's SAVi segmentation metric)
+            gt_masks = np.asarray(data["masks"])
+        return videos, gt_masks
     else:
         from playslot_tpu.data.gridshapes import GridShapes
         img = exp_params["dataset"].get("img_size", 64)
@@ -57,7 +63,7 @@ def _load_frames(args, exp_params):
                         img_size=img, shape_size=max(img // 5, 3),
                         length=max(args.num_seqs, 8), seed=0)
         videos = np.stack([np.asarray(ds[i][0]) for i in range(args.num_seqs)])
-    return videos.astype(np.float32)
+    return videos.astype(np.float32), gt_masks
 
 
 def _slot_noise(exp_params, batch):
@@ -194,8 +200,9 @@ def main(argv=None):
         if args.name_pred_exp else exp_dir
     exp_params = Config.load(pred_dir if args.pred_ckpt else exp_dir)
 
-    videos = _load_frames(args, exp_params)
-    print(f"frames: {videos.shape}")
+    videos, gt_masks = _load_frames(args, exp_params)
+    print(f"frames: {videos.shape}"
+          + (f" gt_masks: {gt_masks.shape}" if gt_masks is not None else ""))
 
     savi_ckpt = args.savi_ckpt if os.path.isabs(args.savi_ckpt) else \
         os.path.join(exp_dir, "models", args.savi_ckpt)
@@ -211,6 +218,19 @@ def main(argv=None):
         "mask_argmax_agreement": float(
             (masks_j.argmax(2) == masks_t.argmax(2)).mean()),
     }}
+    if gt_masks is not None:
+        from playslot_tpu.utils.metrics import miou_framewise
+        num_gt = int(gt_masks.max()) + 1
+        S = masks_t.shape[2]
+
+        def miou(pred_masks):
+            seg = pred_masks.argmax(2)  # (B, T, H, W)
+            vals = [miou_framewise(seg[b, t], gt_masks[b, t], S, num_gt)
+                    for b in range(seg.shape[0]) for t in range(seg.shape[1])]
+            return float(np.mean(vals))
+
+        report["savi"]["torch"]["miou"] = miou(masks_t)
+        report["savi"]["jax"]["miou"] = miou(masks_j)
 
     if args.pred_ckpt:
         sys.path.insert(0, REFERENCE_SRC)
