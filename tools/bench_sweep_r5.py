@@ -36,6 +36,14 @@ CONFIGS = [
     (320, 5, 4, 1),
     (320, 5, 5, 1),
     (384, 5, 4, 1),
+    # refinement around the first pass's winner (256, enc=1, dec=4): the
+    # PER-FRAME streaming granularity beat 5-frame groups by 6% at B=256
+    (256, 1, 2, 1),
+    (288, 1, 4, 1),
+    (320, 1, 4, 1),
+    (384, 1, 4, 1),
+    (320, 1, 5, 1),
+    (256, 2, 4, 1),
 ]
 
 
