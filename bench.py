@@ -33,22 +33,23 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 NUM_SEED, NUM_PREDS = 6, 15
-BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "192"))
+# round-5 sweep peak (docs/BENCH_SWEEP_R5.json): B=256, per-frame streaming
+# encode, 4 decode chunks, fused epilogue -> 3664 f/s/chip (1.47x target)
+BATCH = int(os.environ.get("PLAYSLOT_BENCH_BATCH", "256"))
 COMPUTE_DTYPE = jnp.bfloat16 if os.environ.get(
     "PLAYSLOT_BENCH_DTYPE", "bfloat16") == "bfloat16" else jnp.float32
 # decode in N sequential chunks (lax.map) — divides the decode working set,
-# lifting the HBM batch ceiling (B=160 OOMs unchunked; docs/PERFORMANCE.md):
-# measured sweep puts B=192 / 2 chunks at the throughput peak (3469 f/s/chip)
-DECODE_CHUNKS = int(os.environ.get("PLAYSLOT_BENCH_DECODE_CHUNKS", "2"))
+# lifting the HBM batch ceiling (B=160 OOMs unchunked; docs/PERFORMANCE.md)
+DECODE_CHUNKS = int(os.environ.get("PLAYSLOT_BENCH_DECODE_CHUNKS", "4"))
 # encode memory lever (engine/streaming.py): 0 = hoisted all-frame batched
 # encode (models/savi.py); N > 0 = scan the encode through the recurrence in
 # N-frame groups, shrinking encoder live memory ~T/N-fold — the lever that
-# lifts the B>=256 non-decode HBM ceiling (docs/PERFORMANCE.md)
-ENCODE_CHUNK = int(os.environ.get("PLAYSLOT_BENCH_ENCODE_CHUNK", "0"))
+# lifted the B>=256 non-decode HBM ceiling (docs/PERFORMANCE.md)
+ENCODE_CHUNK = int(os.environ.get("PLAYSLOT_BENCH_ENCODE_CHUNK", "1"))
 # fuse the composite+clip+checksum epilogue into the decode chunk bodies
 # (ops/chunked.py chunked_apply_reduce): per-slot recons/masks and full
 # pred frames never round-trip HBM at full batch
-FUSED_EPILOGUE = os.environ.get("PLAYSLOT_BENCH_FUSED_EPILOGUE", "0") == "1"
+FUSED_EPILOGUE = os.environ.get("PLAYSLOT_BENCH_FUSED_EPILOGUE", "1") == "1"
 
 
 def build_models(dtype):
