@@ -27,14 +27,25 @@ def build_lr_schedule(training_cfg):
         # hold step at lr (the WarmupVSScehdule deactivation call at t=w+1
         # consumes an orchestrator tick without stepping the cosine,
         # schedulers.py:97-105), then cosine (1+cos(pi*(t-w-1)/steps))/2.
-        # Documented deviation BEYOND t = w+1+steps: torch CosineAnnealingLR
-        # oscillates back up with period 2*steps; we clamp at 0 (no shipped
-        # reference run crosses scheduler_steps in its logged history).
+        # BEYOND t = w+1+steps torch CosineAnnealingLR oscillates back up
+        # with period 2*steps. Default "clamp" holds 0 instead (a bouncing
+        # lr is almost certainly unintended, and no shipped reference run
+        # crosses scheduler_steps in its logged history) — a documented
+        # deviation (docs/MIGRATION.md DEVIATIONS). Set
+        # training.scheduler_post_tmax: "bounce" for the reference's exact
+        # periodic behavior (torch closed form, _get_closed_form_lr:
+        # eta_min + (base-eta_min)(1+cos(pi t/T))/2, unclamped);
+        # parity-tested past T_max in tests/test_misc_components.py.
+        if training_cfg.get("scheduler_post_tmax", "clamp") == "bounce":
+            def cosine(count):
+                return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * count / steps))
+        else:
+            cosine = optax.cosine_decay_schedule(lr, steps)
         if warmup:
             return optax.join_schedules(
-                [optax.linear_schedule(0.0, lr, warmup),
-                 optax.cosine_decay_schedule(lr, steps)], [warmup + 1])
-        return optax.cosine_decay_schedule(lr, steps)
+                [optax.linear_schedule(0.0, lr, warmup), cosine],
+                [warmup + 1])
+        return cosine
     if scheduler in ("step", "multi_step"):
         # per-`scheduler_steps` decay by gamma (reference lr_scheduler.StepLR)
         gamma = training_cfg.get("scheduler_gamma", 0.1)

@@ -431,3 +431,44 @@ def test_behavior_optimizer_semantics():
         "warmup/cosine schedule coincides with base lr over the test window"
     assert not np.allclose(np.asarray(ours["policy"]["w"]),
                            np.asarray(params["policy"]["w"]))
+
+
+def test_scheduler_post_tmax_bounce_matches_torch():
+    """`training.scheduler_post_tmax: "bounce"` replicates the reference's
+    torch CosineAnnealingLR PAST T_max (the periodic bounce the default
+    "clamp" deliberately deviates from — docs/MIGRATION.md DEVIATIONS).
+    Drives the reference's own LRWarmUp + WarmupVSScehdule + per-batch
+    CosineAnnealingLR exactly like src/base/base_callbacks.py:112-134."""
+    from tests.reference_util import import_reference
+    from playslot_tpu.train.schedulers import build_lr_schedule
+
+    torch = import_reference()
+    from lib.schedulers import LRWarmUp, WarmupVSScehdule
+
+    lr, warmup, sched_steps, horizon = 1e-3, 10, 100, 350  # 2+ bounces
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr)
+    scheduler = torch.optim.lr_scheduler.CosineAnnealingLR(
+        opt, T_max=sched_steps, eta_min=0)
+    orch = WarmupVSScehdule(
+        optimizer=opt, scheduler=scheduler,
+        lr_warmup=LRWarmUp(init_lr=lr, warmup_steps=warmup, max_epochs=1))
+    exp_params = {"training": {"scheduler": "cosine_annealing"}}
+    ref_lrs = []
+    for t in range(horizon):
+        orch(iter=t, epoch=0, exp_params=exp_params, end_epoch=False)
+        ref_lrs.append(float(opt.param_groups[0]["lr"]))
+        p.grad = torch.ones(1)
+        opt.step()
+
+    sched = build_lr_schedule({
+        "lr": lr, "scheduler": "cosine_annealing", "lr_warmup": True,
+        "warmup_steps": warmup, "scheduler_steps": sched_steps,
+        "scheduler_post_tmax": "bounce"})
+    ours = np.asarray([float(sched(t)) for t in range(horizon)])
+    ref = np.asarray(ref_lrs)
+    # past T_max the reference genuinely bounces (not ~0) ...
+    post = ref[warmup + 1 + sched_steps:]
+    assert post.max() > 0.5 * lr
+    # ... and we match it everywhere to fp noise
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-9)

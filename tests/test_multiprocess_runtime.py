@@ -32,7 +32,7 @@ import numpy as np
 import pytest
 
 from playslot_tpu.config import DEFAULTS, Config
-from tests.test_training import TINY_SAVI
+from tests.test_training import TINY_PRED, TINY_SAVI
 
 pytestmark = pytest.mark.slow
 
@@ -61,6 +61,23 @@ def _write_config(exp, num_epochs=EPOCHS):
         "train_iters_per_epoch": 2, "valid_iters_per_epoch": 1,
         "save_frequency": 1, "warmup_steps": 2, "scheduler_steps": 20,
         "data_parallel_devices": 8})
+    cfg.save()
+
+
+def _write_predictor_config(exp, num_epochs=EPOCHS):
+    """Stage-2 (cOCVP+InvDyn, VQ-EMA on) config — deterministic like the
+    soak test: Learned slot init + latent_det bottleneck, shuffling off."""
+    _write_config(exp, num_epochs=num_epochs)
+    cfg = Config.load(str(exp))
+    cfg["dataset"]["num_frames"] = 4
+    pred_cfg = copy.deepcopy(TINY_PRED)
+    pred_cfg["predictor_params"]["LatentAction"]["model_params"][
+        "latent_det"] = True
+    cfg["predictor"] = pred_cfg
+    cfg["predictor_loss"] = copy.deepcopy(DEFAULTS["predictor_loss"])
+    cfg["prediction_params"] = {"num_context": 2, "num_preds": 2,
+                                "teacher_force": False, "sample_length": 4,
+                                "input_buffer_size": 4}
     cfg.save()
 
 
@@ -131,6 +148,33 @@ def test_two_process_runtime_matches_single_process(tmp_path):
     # only — trainer.save gates the write)
     assert os.path.isdir(os.path.join(multi, "models",
                                       "checkpoint_epoch_final"))
+
+
+def test_two_process_predictor_trainer_with_vq_ema(tmp_path):
+    """The stage-2 trainer under the multi-process runtime: the VQ-EMA
+    codebook is mutable state threaded through the jitted step, so its
+    batch statistics must aggregate identically whether the batch lives on
+    one process or two. Compares params AND the vq collection."""
+    single = tmp_path / "single"
+    multi = tmp_path / "multi"
+    for d in (single, multi):
+        os.makedirs(d)
+        _write_predictor_config(d)
+
+    _run(single, num_processes=1, extra=("--trainer", "predictor"))
+    _run(multi, num_processes=2, extra=("--trainer", "predictor"))
+
+    got, want = _params(multi, 0), _params(single, 0)
+    assert any(k.startswith("vq/") and np.asarray(got[k]).size
+               for k in got), "vq collection missing from the dump"
+    _assert_close(_params(multi, 1), got, "process replication",
+                  rtol=0, atol=0)
+    # atol 5e-6: the EMA codebook is a ratio of two all-reduced running
+    # sums, so collective/conv reduction-order noise passes through the
+    # division slightly amplified — measured 1.4e-7..1.4e-6 max|diff|
+    # across runs; the margin keeps a diff landing on a near-zero element
+    # from flaking the gate
+    _assert_close(got, want, "predictor multi vs single", atol=5e-6)
 
 
 def test_multiprocess_checkpoint_resume(tmp_path):

@@ -36,6 +36,7 @@ def main():
     p.add_argument("--local_devices", type=int, default=4)
     p.add_argument("--checkpoint")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--trainer", choices=["savi", "predictor"], default="savi")
     p.add_argument("--out", help="prefix: final params written to "
                                  "<out>.p<process_id>.npz")
     args = p.parse_args()
@@ -58,10 +59,27 @@ def main():
           f"global={jax.device_count()}", flush=True)
 
     from playslot_tpu.train.trainer import SAViTrainer
-    tr = SAViTrainer(args.exp, checkpoint=args.checkpoint,
-                     resume_training=args.resume)
-    tr.load_data()
-    tr.setup_model()
+    if args.trainer == "predictor":
+        # stage-2 trainer: VQ-EMA codebook state threads through the jitted
+        # step, exercising mutable-collection aggregation under the
+        # cross-process collectives. Frozen SAVi params come from a
+        # deterministic fresh init (fixed training.seed), identical on
+        # every process and every run.
+        from playslot_tpu.train.predictor_trainer import PredictorTrainer
+        sv = SAViTrainer(args.exp)
+        sv.load_data()
+        sv.setup_model()
+        savi_params = jax.device_get(sv.state.params)
+        tr = PredictorTrainer(args.exp, checkpoint=args.checkpoint,
+                              resume_training=args.resume)
+        tr.load_data()
+        tr.load_savi(savi_params=savi_params)
+        tr.setup_predictor()
+    else:
+        tr = SAViTrainer(args.exp, checkpoint=args.checkpoint,
+                         resume_training=args.resume)
+        tr.load_data()
+        tr.setup_model()
 
     if args.num_processes > 1:
         # AOT-compile both jitted steps, then rendezvous at a coordination-
@@ -69,20 +87,28 @@ def main():
         # XLA-CPU's gloo communicator rendezvous times out at 30s, and
         # single-controller compile times easily skew processes further
         # apart than that — so every process must finish compiling BEFORE
-        # anyone executes its first collective.
+        # anyone executes its first collective. Arg shapes/shardings come
+        # from a peeked batch (collective-free to assemble); the loader's
+        # epoch counter advances identically in every worker run, and the
+        # test configs disable shuffling, so determinism is unaffected.
         import jax.numpy as jnp
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        tcfg = tr.exp_params["training"]
-        num_frames = tr.exp_params["dataset"].get("num_frames", 8)
-        batch_struct = jax.ShapeDtypeStruct(
-            (tcfg["batch_size"], num_frames, *tr._frame_shape()), jnp.float32,
-            sharding=NamedSharding(tr.mesh, P("data")))
-        state_struct = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                           sharding=x.sharding), tr.state)
+        batch = next(iter(tr.train_loader))
+
+        def sds(x):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+
+        state_struct = jax.tree.map(sds, tr.state)
         key_struct = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        for step_fn in (tr._train_step, tr._valid_step):
-            step_fn.lower(state_struct, batch_struct, key_struct).compile()
+        if args.trainer == "predictor":
+            videos, actions = tr._unpack(batch)
+            a_struct = None if actions is None else sds(actions)
+            for step_fn in (tr._train_step, tr._valid_step):
+                step_fn.lower(state_struct, sds(videos), a_struct,
+                              key_struct, key_struct).compile()
+        else:
+            videos = tr._shard_batch(batch[0])
+            for step_fn in (tr._train_step, tr._valid_step):
+                step_fn.lower(state_struct, sds(videos), key_struct).compile()
         from jax._src import distributed
         distributed.global_state.client.wait_at_barrier(
             "playslot_mp_precompiled", timeout_in_ms=600_000)
@@ -94,9 +120,11 @@ def main():
     if args.out:
         import flax
         import numpy as np
-        flat = flax.traverse_util.flatten_dict(
-            jax.device_get(flax.serialization.to_state_dict(tr.state.params)),
-            sep="/")
+        host = jax.device_get(flax.serialization.to_state_dict(tr.state))
+        flat = {}
+        for coll in ("params", "vq"):
+            flat.update(flax.traverse_util.flatten_dict(
+                {coll: host.get(coll, {})}, sep="/"))
         np.savez(f"{args.out}.p{args.process_id}.npz",
                  **{k: np.asarray(v) for k, v in flat.items()})
         print(f"[worker {args.process_id}] wrote {args.out}"
